@@ -1,0 +1,198 @@
+"""Dataset loading with on-disk + synthetic backends.
+
+Replaces the reference's ``load_network`` (src/utils/load_utils.py:14-51),
+which pulls Planetoid/CitationFull/Amazon/OGB datasets through PyG/OGB
+downloaders. This environment has no network egress and no torch, so:
+
+* If ``<data_dir>/<name>.npz`` exists (keys: ``x`` [N,F] f32, ``y`` [N] i32,
+  ``edge_index`` [2,E] i32, optional ``train_idx``/``valid_idx``/``test_idx``),
+  it is loaded. ``tools/convert_pyg.py`` documents how to export one from a
+  PyG/OGB environment.
+* Otherwise a *deterministic synthetic* graph with the same schema and
+  (scaled) statistics is generated: Gaussian-mixture features per class and a
+  homophilous degree-skewed edge distribution, so models genuinely learn and
+  noise-robust algorithms behave qualitatively like on the real data.
+
+Split semantics mirror the reference exactly (splits.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from .containers import Graph
+from .splits import (
+    ogb_products_splits,
+    random_computers_splits,
+    random_planetoid_splits,
+    index_to_mask,
+)
+
+
+@dataclass(frozen=True)
+class DatasetProfile:
+    """Shape statistics of the real dataset (for synthetic fallback)."""
+
+    num_nodes: int
+    num_features: int
+    num_classes: int
+    num_edges: int
+    homophily: float
+    split: str  # 'per_class_20_30' | 'per_class_30_20' | 'public' | 'ogb'
+
+
+# Real-dataset statistics; synthetic fallback reproduces these (optionally
+# scaled down via config['synthetic_scale'] > 1).
+DATASET_REGISTRY: dict[str, DatasetProfile] = {
+    "cora": DatasetProfile(19793, 8710, 70, 126842, 0.80, "per_class_20_30"),
+    "pubmed": DatasetProfile(19717, 500, 3, 88648, 0.80, "public"),
+    "computers": DatasetProfile(13752, 767, 10, 491722, 0.78, "per_class_30_20"),
+    "ogbn-arxiv": DatasetProfile(169343, 128, 40, 1166243, 0.65, "ogb"),
+    "ogbn-products": DatasetProfile(2449029, 100, 47, 61859140, 0.81, "ogb"),
+}
+
+
+def synthetic_graph(
+    num_nodes: int,
+    num_features: int,
+    num_classes: int,
+    num_edges: int,
+    homophily: float = 0.8,
+    seed: int = 0,
+    feature_noise: float = 1.0,
+    name: str = "synthetic",
+) -> Graph:
+    """Deterministic homophilous Gaussian-mixture graph.
+
+    Labels are uniform; features are a class-mean (random +-1 template scaled
+    by 1/sqrt(F)) plus ``feature_noise`` * N(0,1); each directed edge picks a
+    uniform source and, with probability ``homophily``, a same-class
+    destination (degree-skewed by sampling node indices from a squared
+    uniform, giving a heavy-ish tail like real citation graphs).
+    """
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+
+    means = (rng.random((num_classes, num_features)) < 0.5).astype(np.float32)
+    means = (2 * means - 1) / np.sqrt(num_features)
+    x = means[y] + feature_noise / np.sqrt(num_features) * rng.standard_normal(
+        (num_nodes, num_features)
+    ).astype(np.float32)
+
+    # class buckets for homophilous destination sampling
+    order = np.argsort(y, kind="stable")
+    class_start = np.searchsorted(y[order], np.arange(num_classes + 1))
+
+    def skewed_uniform(n, size):
+        # squared uniform -> mild degree skew toward low indices
+        return (rng.random(size) ** 2 * n).astype(np.int64)
+
+    src = skewed_uniform(num_nodes, num_edges)
+    same = rng.random(num_edges) < homophily
+    # same-class destinations: index within the source's class bucket
+    cls = y[src]
+    lo, hi = class_start[cls], class_start[cls + 1]
+    within = lo + (rng.random(num_edges) * np.maximum(hi - lo, 1)).astype(np.int64)
+    dst_same = order[np.minimum(within, num_nodes - 1)]
+    dst_rand = skewed_uniform(num_nodes, num_edges)
+    dst = np.where(same, dst_same, dst_rand)
+    keep = src != dst
+    edge_index = np.stack([src[keep], dst[keep]]).astype(np.int32)
+
+    return Graph(
+        x=x.astype(np.float32),
+        y=y,
+        edge_index=edge_index,
+        num_classes=num_classes,
+        name=name,
+    )
+
+
+def _load_npz(path: str, name: str) -> Graph:
+    with np.load(path) as z:
+        g = Graph(
+            x=z["x"].astype(np.float32),
+            y=z["y"].astype(np.int32).reshape(-1),
+            edge_index=z["edge_index"].astype(np.int32),
+            num_classes=int(z["y"].max()) + 1,
+            name=name,
+        )
+        if "train_idx" in z:
+            n = g.num_nodes
+            g = g.replace(
+                train_mask=index_to_mask(z["train_idx"], n),
+                val_mask=index_to_mask(z["valid_idx"], n),
+                test_mask=index_to_mask(z["test_idx"], n),
+            )
+    return g
+
+
+def load_network(config: dict) -> Graph:
+    """Load + split a dataset per the reference's ``load_network`` semantics.
+
+    Reference parity (src/utils/load_utils.py:14-51):
+      * ogbn-arxiv  -> ToUndirected, official split
+      * ogbn-products -> official split, subsampled by train/tvalid/test fracs
+      * pubmed -> NormalizeFeatures, public Planetoid split
+      * cora (CitationFull) -> random 20/class train, 30/class val, rest test
+      * computers -> random 30/class train, 20/class val, rest test
+    """
+    name = config["dataset_name"]
+    if name not in DATASET_REGISTRY:
+        raise ValueError(f"unknown dataset {name!r}; known: {list(DATASET_REGISTRY)}")
+    prof = DATASET_REGISTRY[name]
+    data_dir = config.get("data_dir", "data")
+    seed = int(config.get("seed", 0))
+    rng = np.random.default_rng(seed)
+
+    npz = os.path.join(data_dir, f"{name}.npz")
+    if os.path.exists(npz):
+        g = _load_npz(npz, name)
+    else:
+        scale = max(int(config.get("synthetic_scale", 1)), 1)
+        # floor of 64 nodes/class so the reference's per-class split quotas
+        # (20 train + 30 val) always leave a non-empty test set
+        g = synthetic_graph(
+            max(prof.num_nodes // scale, 64 * prof.num_classes),
+            max(prof.num_features // scale, 16),
+            prof.num_classes,
+            max(prof.num_edges // scale, 512),
+            homophily=prof.homophily,
+            seed=seed,
+            name=name,
+        )
+
+    if name == "ogbn-arxiv":
+        g = g.to_undirected()
+    if name == "pubmed":
+        # NormalizeFeatures: row-normalize to sum 1 (reference load_utils.py:35)
+        s = g.x.sum(axis=1, keepdims=True)
+        g = g.replace(x=(g.x / np.maximum(s, 1e-12)).astype(np.float32))
+
+    has_split = g.train_mask is not None
+    if not has_split:
+        if prof.split == "per_class_20_30":
+            g = random_planetoid_splits(g, rng, train_per_class=20, val_per_class=30)
+        elif prof.split == "per_class_30_20":
+            g = random_computers_splits(g, rng)
+        elif prof.split == "public":
+            # Planetoid public split shape: 20/class train, 500 val, 1000 test
+            g = random_planetoid_splits(
+                g, rng, train_per_class=20, val_total=500, test_total=1000
+            )
+        else:  # ogb
+            n = g.num_nodes
+            perm = rng.permutation(n)
+            n_tr, n_va = int(0.54 * n), int(0.18 * n)
+            g = g.replace(
+                train_mask=index_to_mask(perm[:n_tr], n),
+                val_mask=index_to_mask(perm[n_tr : n_tr + n_va], n),
+                test_mask=index_to_mask(perm[n_tr + n_va :], n),
+            )
+
+    if name == "ogbn-products" and not config.get("whole_test_set", True):
+        g = ogb_products_splits(g, config, rng)
+    return g

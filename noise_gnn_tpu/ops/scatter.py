@@ -1,0 +1,106 @@
+"""Segment reductions and sparse message-passing primitives (XLA backend).
+
+TPU-native replacement for the torch-scatter / torch-sparse CUDA kernels the
+reference's ``SAGEConv``/``GCNConv`` message passing delegates to
+(reference: src/models/layers/sage.py:16-19, src/utils/losses.py:200).
+
+All shapes are static; masked (padded) edges are routed to a dead segment so
+everything stays jittable. Accumulation is fp32 regardless of input dtype
+(bf16 features accumulate in fp32, matching MXU best practice).
+
+A Pallas fused gather+segment kernel for the hot SpMM path lives in
+``noise_gnn_tpu.ops.pallas_spmm``; this module is the reference/general
+backend that XLA compiles to scatter-adds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def segment_sum(data: Array, segment_ids: Array, num_segments: int) -> Array:
+    """Sum `data` rows into `num_segments` buckets. fp32 accumulation."""
+    acc_dtype = jnp.float32 if data.dtype in (jnp.bfloat16, jnp.float16) else data.dtype
+    out = jax.ops.segment_sum(
+        data.astype(acc_dtype), segment_ids, num_segments=num_segments
+    )
+    return out.astype(data.dtype)
+
+
+def segment_count(segment_ids: Array, num_segments: int, mask: Array | None = None) -> Array:
+    """Number of (valid) entries per segment, shape [num_segments]."""
+    ones = jnp.ones(segment_ids.shape, dtype=jnp.float32)
+    if mask is not None:
+        ones = jnp.where(mask, ones, 0.0)
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+
+
+def segment_mean(
+    data: Array, segment_ids: Array, num_segments: int, mask: Array | None = None
+) -> Array:
+    """Mean of `data` rows per segment; empty segments yield 0 (PyG semantics)."""
+    if mask is not None:
+        data = jnp.where(mask[:, None], data, 0)
+    total = segment_sum(data, segment_ids, num_segments)
+    count = segment_count(segment_ids, num_segments, mask)
+    return (total.astype(jnp.float32) / jnp.maximum(count, 1.0)[:, None]).astype(data.dtype)
+
+
+def segment_max(
+    data: Array, segment_ids: Array, num_segments: int, mask: Array | None = None
+) -> Array:
+    """Max of `data` rows per segment; empty segments yield 0."""
+    neg_inf = jnp.array(-jnp.inf, dtype=data.dtype)
+    if mask is not None:
+        data = jnp.where(mask[:, None], data, neg_inf)
+    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    return jnp.where(jnp.isfinite(out), out, 0)
+
+
+def _apply_edge_mask(src: Array, dst: Array, edge_mask: Array | None, num_nodes: int):
+    """Route masked edges to a dead destination so scatter stays static-shape.
+
+    The dead segment is `num_nodes` (one extra row that is sliced off)."""
+    if edge_mask is None:
+        return src, dst, None
+    dst = jnp.where(edge_mask, dst, num_nodes)
+    return src, dst, edge_mask
+
+
+def gather_scatter_sum(
+    x: Array, edge_index: Array, num_nodes: int, edge_mask: Array | None = None
+) -> Array:
+    """out[i] = sum_{(j -> i) in E} x[j].
+
+    `edge_index` is [2, E] with row 0 = source, row 1 = destination (PyG
+    convention: messages flow source -> target, reference SAGEConv
+    aggregation). Masked edges contribute nothing.
+    """
+    src, dst = edge_index[0], edge_index[1]
+    src, dst, _ = _apply_edge_mask(src, dst, edge_mask, num_nodes)
+    msgs = jnp.take(x, src, axis=0)
+    out = segment_sum(msgs, dst, num_nodes + 1)
+    return out[:num_nodes]
+
+
+def gather_scatter_mean(
+    x: Array, edge_index: Array, num_nodes: int, edge_mask: Array | None = None
+) -> Array:
+    """out[i] = mean_{(j -> i) in E} x[j]; 0 for isolated nodes."""
+    src, dst = edge_index[0], edge_index[1]
+    src, dst, _ = _apply_edge_mask(src, dst, edge_mask, num_nodes)
+    msgs = jnp.take(x, src, axis=0)
+    total = segment_sum(msgs, dst, num_nodes + 1)[:num_nodes]
+    count = segment_count(dst, num_nodes + 1)[:num_nodes]
+    return (total.astype(jnp.float32) / jnp.maximum(count, 1.0)[:, None]).astype(x.dtype)
+
+
+def degree(edge_index: Array, num_nodes: int, edge_mask: Array | None = None, axis: int = 1) -> Array:
+    """In-degree (axis=1, default) or out-degree (axis=0) per node."""
+    ids = edge_index[axis]
+    if edge_mask is not None:
+        ids = jnp.where(edge_mask, ids, num_nodes)
+    return segment_count(ids, num_nodes + 1)[:num_nodes]

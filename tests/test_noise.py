@@ -1,0 +1,75 @@
+import numpy as np
+
+from noise_gnn_tpu.noise import (
+    add_edge_noise,
+    add_feature_noise,
+    build_noise_matrix,
+    flip_label,
+    noise_or_not,
+)
+
+
+def test_noise_matrices_row_stochastic():
+    for t in ("sym", "next_pair", "rand_pair", "aim_pair"):
+        m = build_noise_matrix(10, t, 0.3, np.random.default_rng(0))
+        np.testing.assert_allclose(m.sum(axis=1), np.ones(10), atol=1e-9)
+        # pair matrices may map a class to itself (diag 1.0), like the
+        # reference's rand_pair; sym/next_pair keep exactly 1-p on the diag
+        if t in ("sym", "next_pair"):
+            np.testing.assert_allclose(np.diag(m), 0.7 * np.ones(10), atol=1e-9)
+
+
+def test_sym_matrix_values():
+    m = build_noise_matrix(5, "sym", 0.2)
+    np.testing.assert_allclose(m[0, 1], 0.2 / 4)
+
+
+def test_next_pair_structure():
+    m = build_noise_matrix(4, "next_pair", 0.3)
+    np.testing.assert_allclose(m[0, 1], 0.3)
+    np.testing.assert_allclose(m[3, 0], 0.3)
+    assert m[0, 2] == 0
+
+
+def test_flip_label_statistics():
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 6, 20000).astype(np.int32)
+    yhn, mat = flip_label(y, 6, "sym", 0.3, rng)
+    flip_rate = (yhn != y).mean()
+    assert abs(flip_rate - 0.3) < 0.02
+    non = noise_or_not(y, yhn)
+    assert non.mean() > 0.65
+    # per-class transition frequencies follow the matrix
+    sel = y == 2
+    frac_to_3 = (yhn[sel] == 3).mean()
+    assert abs(frac_to_3 - mat[2, 3]) < 0.02
+
+
+def test_flip_label_deterministic():
+    y = np.arange(100) % 7
+    a, _ = flip_label(y, 7, "rand_pair", 0.4, np.random.default_rng(42))
+    b, _ = flip_label(y, 7, "rand_pair", 0.4, np.random.default_rng(42))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_add_edge_noise_preserves_count_and_symmetry():
+    rng = np.random.default_rng(1)
+    n = 40
+    src, dst = [], []
+    for i in range(n):
+        for j in range(i + 1, min(i + 4, n)):
+            src += [i, j]
+            dst += [j, i]
+    ei = np.stack([np.asarray(src), np.asarray(dst)]).astype(np.int32)
+    out = add_edge_noise(ei, n, prob=0.3, rng=rng)
+    assert out.shape[1] == ei.shape[1]
+    pairs = set(zip(out[0].tolist(), out[1].tolist()))
+    assert all((b, a) in pairs for a, b in pairs)
+    assert (out[0] != out[1]).all()
+
+
+def test_add_feature_noise():
+    x = np.zeros((50, 20), np.float32)
+    out = add_feature_noise(x, prob=0.5, std=1.0, rng=np.random.default_rng(2))
+    frac = (out != 0).mean()
+    assert 0.4 < frac < 0.6

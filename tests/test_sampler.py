@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from noise_gnn_tpu.graph.containers import CSRGraph, Graph
+from noise_gnn_tpu.ops.sampler import flat_edge_index, sample_khop_tree
+
+
+def ring_graph(n):
+    src = np.arange(n)
+    dst = (src + 1) % n
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    return ei.astype(np.int32)
+
+
+def test_csr_from_coo():
+    ei = np.asarray([[0, 1, 2, 2], [1, 2, 0, 0]], np.int32)
+    csr = CSRGraph.from_coo(ei, 3)
+    np.testing.assert_array_equal(np.asarray(csr.indptr), [0, 2, 1 + 2, 4])
+    # node 0 has two in-edges from 2
+    np.testing.assert_array_equal(np.sort(np.asarray(csr.indices[:2])), [2, 2])
+    np.testing.assert_array_equal(np.asarray(csr.degrees()), [2, 1, 1])
+
+
+def test_low_degree_takes_all_neighbors():
+    """deg <= fanout: every neighbor appears exactly once, rest masked."""
+    ei = ring_graph(10)  # every node has in-degree 2
+    csr = CSRGraph.from_coo(ei, 10)
+    seeds = jnp.asarray([3, 7])
+    tb = sample_khop_tree(jax.random.key(0), csr, seeds, (5,))
+    kids = np.asarray(tb.n_ids[1]).reshape(2, 5)
+    mask = np.asarray(tb.masks[1]).reshape(2, 5)
+    assert mask.sum(axis=1).tolist() == [2, 2]
+    np.testing.assert_array_equal(np.sort(kids[0][mask[0]]), [2, 4])
+    np.testing.assert_array_equal(np.sort(kids[1][mask[1]]), [6, 8])
+
+
+def test_high_degree_samples_valid_neighbors():
+    rng = np.random.default_rng(0)
+    n = 30
+    ei = rng.integers(0, n, (2, 500)).astype(np.int32)
+    csr = CSRGraph.from_coo(ei, n)
+    in_neigh = {i: set(ei[0][ei[1] == i].tolist()) for i in range(n)}
+    seeds = jnp.arange(8)
+    tb = sample_khop_tree(jax.random.key(1), csr, seeds, (4, 3))
+    kids = np.asarray(tb.n_ids[1]).reshape(8, 4)
+    mask = np.asarray(tb.masks[1]).reshape(8, 4)
+    for i in range(8):
+        for j in range(4):
+            if mask[i, j]:
+                assert kids[i, j] in in_neigh[i]
+    assert tb.n_ids[2].shape == (8 * 4 * 3,)
+
+
+def test_isolated_seed_masked():
+    ei = np.asarray([[0], [1]], np.int32)  # node 2 isolated
+    csr = CSRGraph.from_coo(ei, 3)
+    tb = sample_khop_tree(jax.random.key(0), csr, jnp.asarray([2]), (3,))
+    assert not np.asarray(tb.masks[1]).any()
+
+
+def test_flat_edge_index_structure():
+    ei = flat_edge_index(2, (3, 2))
+    # sizes: 2 seeds, 6 depth-1, 12 depth-2; edges = 6 + 12
+    assert ei.shape == (2, 18)
+    # child 2 (first depth-1 node, flat idx 2) -> seed 0
+    assert ei[0, 0] == 2 and ei[1, 0] == 0
+    # depth-1 children map j//3 to seeds
+    np.testing.assert_array_equal(ei[1, :6], [0, 0, 0, 1, 1, 1])
+    # depth-2 child flat idx 8.. -> parents base1 + j//2
+    np.testing.assert_array_equal(ei[1, 6:10], [2, 2, 3, 3])
+
+
+def test_seed_mask_propagates():
+    ei = ring_graph(6)
+    csr = CSRGraph.from_coo(ei, 6)
+    seeds = jnp.asarray([0, 1, 0, 0])
+    seed_mask = jnp.asarray([True, True, False, False])
+    tb = sample_khop_tree(jax.random.key(0), csr, seeds, (2,), seed_mask)
+    mask = np.asarray(tb.masks[1]).reshape(4, 2)
+    assert mask[:2].all()
+    assert not mask[2:].any()
+
+
+def test_sampler_jits():
+    ei = ring_graph(12)
+    csr = CSRGraph.from_coo(ei, 12)
+
+    @jax.jit
+    def run(key, seeds):
+        tb = sample_khop_tree(key, csr, seeds, (3, 2))
+        return tb.n_ids[2], tb.masks[2]
+
+    ids, m = run(jax.random.key(0), jnp.arange(4))
+    assert ids.shape == (4 * 3 * 2,)
+
+
+def test_graph_to_undirected():
+    g = Graph(
+        x=np.zeros((4, 2), np.float32),
+        y=np.zeros(4, np.int32),
+        edge_index=np.asarray([[0, 1, 0], [1, 2, 1]], np.int32),
+        num_classes=2,
+    )
+    u = g.to_undirected()
+    pairs = set(zip(u.edge_index[0].tolist(), u.edge_index[1].tolist()))
+    assert pairs == {(0, 1), (1, 0), (1, 2), (2, 1)}
