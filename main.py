@@ -1,0 +1,65 @@
+"""CLI entry: ``python main.py -config configs/config_cora.yml``.
+
+Mirrors the reference dispatch (reference main.py:21-44): algo_type x what x
+dataset_name select the pipeline. The reference imports PipelineH but never
+dispatches to it; here ``algo_type: hpseudo`` reaches it.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from noise_gnn_tpu.train.pipelines import (
+    PipelineA,
+    PipelineCO,
+    PipelineCT,
+    PipelineCTP,
+    PipelineH,
+    PipelineS,
+    PipelineSG,
+    PipelineTE,
+    PipelineTES,
+)
+from noise_gnn_tpu.utils.config import load_config
+
+OGB = ("ogbn-arxiv", "ogbn-products")
+
+
+def main(config: dict):
+    algo = config["algo_type"]
+    if algo in ("codi", "coteaching"):
+        if config.get("what") in ("_test2", "_test3"):
+            cls = PipelineTE if config["dataset_name"] in OGB else PipelineTES
+        else:
+            cls = PipelineCO if config["dataset_name"] in OGB else PipelineS
+    elif algo == "ctp":
+        cls = PipelineCTP
+    elif algo == "contrastive":
+        cls = PipelineCT
+    elif algo == "grid":
+        cls = PipelineSG
+    elif algo == "analysis":
+        cls = PipelineA
+    elif algo == "hpseudo":
+        cls = PipelineH
+    elif algo == "baseline":
+        config["train_type"] = "baseline"
+        cls = PipelineCO if config["dataset_name"] in OGB else PipelineS
+    else:
+        raise ValueError(f"wrong algo type {algo!r}")
+    pipeline = cls(config)
+    return pipeline.loop()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-config", "--config", required=True, type=str,
+                        help="configuration file path")
+    args = parser.parse_args()
+    config = load_config(args.config)
+    if config.get("device") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    print(f"devices: {jax.devices()}")
+    main(config)

@@ -70,6 +70,37 @@ def _apply_edge_mask(src: Array, dst: Array, edge_mask: Array | None, num_nodes:
     return src, dst, edge_mask
 
 
+# above this many gathered elements ([E, F] message matrix), switch to the
+# edge-chunked accumulation path so the intermediate never materializes
+_CHUNK_THRESHOLD_ELEMS = 1 << 27  # ~512 MB fp32
+_EDGE_CHUNK = 1 << 21
+
+
+def _chunked_scatter_sum(x: Array, src: Array, dst: Array, num_nodes: int) -> Array:
+    """fori_loop over edge chunks: acc.at[dst_chunk].add(x[src_chunk]).
+
+    Keeps peak memory at [chunk, F] instead of [E, F]; shapes stay static
+    (edges pre-padded to a chunk multiple, padding routed to a dead row).
+    """
+    e = src.shape[0]
+    chunk = min(_EDGE_CHUNK, e)
+    nchunks = -(-e // chunk)
+    pad = nchunks * chunk - e
+    src_p = jnp.concatenate([src, jnp.zeros((pad,), src.dtype)])
+    dst_p = jnp.concatenate([dst, jnp.full((pad,), num_nodes, dst.dtype)])
+    acc_dtype = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
+
+    def body(i, acc):
+        s = jax.lax.dynamic_slice_in_dim(src_p, i * chunk, chunk)
+        d = jax.lax.dynamic_slice_in_dim(dst_p, i * chunk, chunk)
+        msgs = jnp.take(x, s, axis=0).astype(acc_dtype)
+        return acc.at[d].add(msgs)
+
+    acc = jnp.zeros((num_nodes + 1, x.shape[1]), acc_dtype)
+    acc = jax.lax.fori_loop(0, nchunks, body, acc)
+    return acc[:num_nodes].astype(x.dtype)
+
+
 def gather_scatter_sum(
     x: Array, edge_index: Array, num_nodes: int, edge_mask: Array | None = None
 ) -> Array:
@@ -77,10 +108,13 @@ def gather_scatter_sum(
 
     `edge_index` is [2, E] with row 0 = source, row 1 = destination (PyG
     convention: messages flow source -> target, reference SAGEConv
-    aggregation). Masked edges contribute nothing.
+    aggregation). Masked edges contribute nothing. Large graphs (E * F over
+    ~128M elements) automatically take the edge-chunked path.
     """
     src, dst = edge_index[0], edge_index[1]
     src, dst, _ = _apply_edge_mask(src, dst, edge_mask, num_nodes)
+    if src.shape[0] * x.shape[1] > _CHUNK_THRESHOLD_ELEMS:
+        return _chunked_scatter_sum(x, src, dst, num_nodes)
     msgs = jnp.take(x, src, axis=0)
     out = segment_sum(msgs, dst, num_nodes + 1)
     return out[:num_nodes]
@@ -92,8 +126,10 @@ def gather_scatter_mean(
     """out[i] = mean_{(j -> i) in E} x[j]; 0 for isolated nodes."""
     src, dst = edge_index[0], edge_index[1]
     src, dst, _ = _apply_edge_mask(src, dst, edge_mask, num_nodes)
-    msgs = jnp.take(x, src, axis=0)
-    total = segment_sum(msgs, dst, num_nodes + 1)[:num_nodes]
+    if src.shape[0] * x.shape[1] > _CHUNK_THRESHOLD_ELEMS:
+        total = _chunked_scatter_sum(x, src, dst, num_nodes)
+    else:
+        total = segment_sum(jnp.take(x, src, axis=0), dst, num_nodes + 1)[:num_nodes]
     count = segment_count(dst, num_nodes + 1)[:num_nodes]
     return (total.astype(jnp.float32) / jnp.maximum(count, 1.0)[:, None]).astype(x.dtype)
 

@@ -1,0 +1,666 @@
+"""Training pipelines mirroring the reference zoo (src/pipeline*.py).
+
+Pipeline -> reference file:
+  PipelineCO  -> src/pipeline.py         (co-teaching, OGB datasets)
+  PipelineS   -> src/pipeline_s.py       (co-teaching, small graphs)
+  PipelineTE  -> src/pipeline_test.py    (sagePL co-teaching+contrastive, OGB)
+  PipelineTES -> src/pipeline_test_s.py  (same, small graphs)
+  PipelineCTP -> src/pipeline_ctp.py     (co-teaching + consistency)
+  PipelineCT  -> src/pipeline_contrast.py(contrastive pretrain/finetune)
+  PipelineH   -> src/pipeline_h.py       (pseudo-label co-teaching)
+  PipelineSG  -> src/pipeline_sgrid.py   (beta x tau grid search)
+  PipelineA   -> src/pipeline_analysis.py(selection-quality analysis)
+
+Differences by design (TPU-first):
+  * sampling + forward + loss + update run as ONE jitted step on device;
+  * evaluation is a full-graph on-device forward (no host-staged layer loop);
+  * every epoch's metrics stream to JSONL next to the reference-style log.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..eval.metrics import confusion_matrix, evaluate_splits
+from ..graph.datasets import load_network
+from ..losses.schedules import forget_rate_schedule
+from ..models import nets
+from ..noise import flip_label, noise_or_not
+from ..utils.checkpoint import save_checkpoint
+from ..utils.config import run_name, validate_config
+from ..utils.logging import MetricsWriter, initialize_logger
+from . import steps as S
+
+OGB_DATASETS = ("ogbn-arxiv", "ogbn-products")
+
+
+class BasePipeline:
+    """Shared setup: data, noise, schedules, logger, batching, eval."""
+
+    schedule_variant = "ogb"
+
+    def __init__(self, config: dict):
+        validate_config(config)
+        self.config = config
+        self.rng = np.random.default_rng(int(config.get("seed", 0)))
+
+        self.graph = load_network(config)
+        g = self.graph
+        config["nbr_features"] = g.num_features
+        config["nbr_classes"] = g.num_classes
+        config["nbr_nodes"] = g.num_nodes
+
+        self.split_idx = g.split_idx()
+        if config.get("batch_size_full"):
+            # full-batch mode: one batch covering every train seed
+            # (reference src/pipeline_s.py:62-63)
+            config["batch_size"] = int(self.split_idx["train"].shape[0])
+
+        self.output_name = run_name(config)
+        self.logger = initialize_logger(config, self.output_name)
+        self.metrics = MetricsWriter(config, self.output_name)
+
+        self._flip_labels()
+
+        self.fanouts = tuple(int(f) for f in config["nbr_neighbors"])[
+            : config["num_layers"]
+        ]
+        while len(self.fanouts) < config["num_layers"]:
+            self.fanouts = self.fanouts + (self.fanouts[-1],)
+
+        self.rate_schedule = forget_rate_schedule(
+            config["max_epochs"],
+            float(config["noise_rate"]),
+            int(config["ct_tk"]),
+            float(config["ct_tau"]),
+            ct_exp=float(config.get("ct_exp", 1)),
+            warmup=int(config.get("warmup", 0)) or None,
+            variant=self.schedule_variant,
+        )
+
+        self.optimizer = optax.adam(float(config["learning_rate"]))
+        self._full_edge_index = jnp.asarray(g.edge_index)
+        self.key = jax.random.key(int(config.get("seed", 0)))
+
+    # -------------------------------------------------------------- helpers
+
+    def _flip_labels(self):
+        g = self.graph
+        yhn, self.noise_mat = flip_label(
+            g.y, g.num_classes, self.config["noise_type"],
+            float(self.config["noise_rate"]), self.rng,
+        )
+        self.graph = g.replace(yhn=yhn)
+        self.clean = noise_or_not(g.y, yhn)
+        self.data = S.GraphData(
+            x=jnp.asarray(g.x),
+            y=jnp.asarray(g.y),
+            yhn=jnp.asarray(yhn),
+            clean=jnp.asarray(self.clean),
+            csr=g.csr(),
+        )
+
+    def next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def epoch_batches(self, idx: np.ndarray, batch_size: int, shuffle=True):
+        """Padded seed batches covering ``idx`` once (replaces NeighborLoader
+        iteration; sampling itself happens on device inside the step)."""
+        if shuffle:
+            idx = self.rng.permutation(idx)
+        n = idx.shape[0]
+        for lo in range(0, n, batch_size):
+            chunk = idx[lo : lo + batch_size]
+            pad = batch_size - chunk.shape[0]
+            seeds = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
+            mask = np.concatenate([np.ones(chunk.shape[0], bool), np.zeros(pad, bool)])
+            yield S.Batch(jnp.asarray(seeds), jnp.asarray(mask))
+
+    def make_eval(self, spec):
+        eval_fn = S.make_eval_fn(spec)
+
+        def evaluate(params):
+            logits = eval_fn(params, self.data.x, self._full_edge_index)
+            return evaluate_splits(logits, self.graph.y, self.split_idx)
+
+        return evaluate
+
+    def spec_for(self, module: str | None = None) -> nets.NetSpec:
+        c = self.config
+        return nets.NetSpec(
+            module=module or c["module"],
+            in_size=c["nbr_features"],
+            hidden_size=int(c["hidden_size"]),
+            out_size=c["nbr_classes"],
+            num_layers=int(c["num_layers"]),
+            dropout=float(c["dropout"]),
+            use_bn=bool(c.get("use_bn", False)),
+            nbr_nodes=c["nbr_nodes"],
+        )
+
+    def _report_runs(self, label: str, best_accs: list[float]):
+        mean, std = float(np.mean(best_accs)), float(np.std(best_accs, ddof=1) if len(best_accs) > 1 else 0.0)
+        self.logger.info(f"   RUN {label} mean {mean:.3f} +- {std:.3f} std")
+        self.metrics.write(event=f"summary_{label}", mean=mean, std=std, runs=best_accs)
+        return mean, std
+
+
+class PipelineCO(BasePipeline):
+    """Dual-network co-teaching + CE/backward baseline, multi-run
+    (reference PipelineCO/PipelineS loop, src/pipeline.py:200-313)."""
+
+    schedule_variant = "ogb"
+    reflip_per_run = True
+
+    def loop(self):
+        c = self.config
+        self.logger.info(f"{c['num_runs']} RUNS")
+        results = {}
+        if c["train_type"] in ("nalgo", "both"):
+            results["nalgo"] = self._loop_ct()
+        if c["train_type"] in ("baseline", "both"):
+            results["baseline"] = self._loop_baseline()
+        return results
+
+    def _loop_ct(self):
+        c = self.config
+        spec = self.spec_for()
+        step = S.make_ct_step(
+            spec, self.optimizer, self.fanouts,
+            algo=c["algo_type"] if c["algo_type"] in ("codi",) else "coteaching",
+            co_lambda=float(c["co_lambda"]),
+        )
+        evaluate = self.make_eval(spec)
+        train_idx = self.split_idx["train"]
+        bs = int(c["batch_size"])
+        best_accs = []
+        for run in range(int(c["num_runs"])):
+            if self.reflip_per_run and run > 0:
+                self._flip_labels()
+            s1 = S.init_state(self.next_key(), spec, self.optimizer)
+            s2 = S.init_state(self.next_key(), spec, self.optimizer)
+            best1 = best2 = 0.0
+            for epoch in range(int(c["max_epochs"])):
+                fr = jnp.float32(self.rate_schedule[epoch])
+                agg = {}
+                nb = 0
+                for batch in self.epoch_batches(train_idx, bs):
+                    s1, s2, m = step(s1, s2, self.data, batch, self.next_key(), fr)
+                    nb += 1
+                    for k, v in m.items():
+                        agg[k] = agg.get(k, 0.0) + float(v)
+                acc1 = evaluate(s1.params)
+                acc2 = evaluate(s2.params)
+                best1, best2 = max(best1, acc1["test"]), max(best2, acc2["test"])
+                rec = {k: v / nb for k, v in agg.items()}
+                rec["train_acc_1"] = agg["correct_1"] / train_idx.shape[0]
+                rec["train_acc_2"] = agg["correct_2"] / train_idx.shape[0]
+                self.metrics.write(
+                    event="epoch_ct", run=run, epoch=epoch, **rec,
+                    val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
+                    test_acc_1=acc1["test"], test_acc_2=acc2["test"],
+                )
+                if c["epoch_logger"] and not ((epoch + 1) % 10):
+                    self.logger.info(
+                        f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
+                        f"acc t1: {acc1['train']:.3f} t2: {acc2['train']:.3f} "
+                        f"v1: {acc1['valid']:.3f} v2: {acc2['valid']:.3f} "
+                        f"tst1: {acc1['test']:.3f} tst2: {acc2['test']:.3f}"
+                    )
+            self.logger.info(
+                f"   RUN {run + 1} - best nalgo test acc1: {best1:.3f}   acc2: {best2:.3f}"
+            )
+            best_accs.append(max(best1, best2))
+        return self._report_runs("nalgo", best_accs)
+
+    def _loop_baseline(self):
+        c = self.config
+        spec = self.spec_for(c.get("module_compare", c["module"]))
+        step = S.make_baseline_step(
+            spec, self.optimizer, self.fanouts, compare_loss=c["compare_loss"]
+        )
+        evaluate = self.make_eval(spec)
+        train_idx = self.split_idx["train"]
+        bs = int(c["batch_size"])
+        noise_mat = jnp.asarray(self.noise_mat, jnp.float32)
+        best_accs = []
+        for run in range(int(c["num_runs"])):
+            s = S.init_state(self.next_key(), spec, self.optimizer)
+            best = 0.0
+            for epoch in range(int(c["max_epochs"])):
+                agg = {"loss": 0.0, "correct": 0.0}
+                nb = 0
+                for batch in self.epoch_batches(train_idx, bs):
+                    s, m = step(s, self.data, batch, self.next_key(), noise_mat)
+                    nb += 1
+                    for k in agg:
+                        agg[k] += float(m[k])
+                acc = evaluate(s.params)
+                best = max(best, acc["test"])
+                self.metrics.write(
+                    event="epoch_baseline", run=run, epoch=epoch,
+                    loss=agg["loss"] / nb,
+                    train_acc=agg["correct"] / train_idx.shape[0],
+                    val_acc=acc["valid"], test_acc=acc["test"],
+                )
+                if c["epoch_logger"] and not ((epoch + 1) % 10):
+                    self.logger.info(
+                        f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
+                        f"acc t: {acc['train']:.3f} v: {acc['valid']:.3f} tst: {acc['test']:.3f}"
+                    )
+            self.logger.info(f"   RUN {run + 1} - best baseline test acc: {best:.3f}")
+            best_accs.append(best)
+        return self._report_runs("baseline", best_accs)
+
+
+class PipelineS(PipelineCO):
+    """Small-graph variant: 'small' forget schedule, labels flipped once
+    (reference src/pipeline_s.py:52-53, loop at 187)."""
+
+    schedule_variant = "small"
+    reflip_per_run = False
+
+
+class PipelineTE(BasePipeline):
+    """sagePL co-teaching + topk-rewire contrastive after ct_tk epochs,
+    joint optimizer (reference PipelineTE, src/pipeline_test.py)."""
+
+    schedule_variant = "ogb"
+
+    def loop(self):
+        c = self.config
+        spec = self.spec_for()  # module: sagePL
+        algo = "codi" if c["algo_type"] == "codi" else "coteaching"
+        common = dict(
+            algo=algo, co_lambda=float(c["co_lambda"]),
+            spl_cont_beta=float(c["spl_cont_beta"]),
+            spl_rewire_rate=float(c["spl_rewire_rate"]),
+            spl_noise_rate_pos=float(c["spl_noise_rate_pos"]),
+            spl_noise_rate_neg=float(c["spl_noise_rate_neg"]),
+        )
+        step_plain = S.make_te_step(spec, self.optimizer, self.fanouts,
+                                    use_contrast=False, **common)
+        step_cont = S.make_te_step(spec, self.optimizer, self.fanouts,
+                                   use_contrast=True, **common)
+        evaluate = self.make_eval(spec)
+        train_idx = self.split_idx["train"]
+        bs = int(c["batch_size"])
+        best_accs = []
+        for run in range(int(c["num_runs"])):
+            if run > 0:
+                self._flip_labels()
+            p1 = nets.init_params(self.next_key(), spec)
+            p2 = nets.init_params(self.next_key(), spec)
+            s = S.TrainState((p1, p2), self.optimizer.init((p1, p2)))
+            best = 0.0
+            for epoch in range(int(c["max_epochs"])):
+                fr = jnp.float32(self.rate_schedule[epoch])
+                step = step_cont if epoch > int(c["ct_tk"]) else step_plain
+                agg, nb = {}, 0
+                for batch in self.epoch_batches(train_idx, bs):
+                    s, m = step(s, self.data, batch, self.next_key(), fr)
+                    nb += 1
+                    for k, v in m.items():
+                        agg[k] = agg.get(k, 0.0) + float(v)
+                acc1 = evaluate(s.params[0])
+                acc2 = evaluate(s.params[1])
+                best = max(best, acc1["test"], acc2["test"])
+                self.metrics.write(
+                    event="epoch_te", run=run, epoch=epoch,
+                    **{k: v / nb for k, v in agg.items()},
+                    val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
+                    test_acc_1=acc1["test"], test_acc_2=acc2["test"],
+                )
+                if c["epoch_logger"] and not ((epoch + 1) % 5):
+                    self.logger.info(
+                        f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
+                        f"v1: {acc1['valid']:.3f} v2: {acc2['valid']:.3f} "
+                        f"tst1: {acc1['test']:.3f} tst2: {acc2['test']:.3f}"
+                    )
+            self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
+            best_accs.append(best)
+        return self._report_runs("te", best_accs)
+
+
+class PipelineTES(PipelineTE):
+    """Small-graph TE (reference src/pipeline_test_s.py)."""
+
+    schedule_variant = "small"
+
+
+class PipelineCTP(BasePipeline):
+    """Co-teaching + uncertainty-weighted FixMatch consistency
+    (reference PipelineCTP, src/pipeline_ctp.py)."""
+
+    schedule_variant = "ogb"
+
+    def loop(self):
+        c = self.config
+        spec = self.spec_for()  # sagePL
+        kw = dict(beta=1.0, spl_noise=float(c.get("spl_noise", 0.1)))
+        step0 = S.make_ctp_step(spec, self.optimizer, self.fanouts, use_cr=False, **kw)
+        step1 = S.make_ctp_step(spec, self.optimizer, self.fanouts, use_cr=True, **kw)
+        evaluate = self.make_eval(spec)
+        train_idx = self.split_idx["train"]
+        bs = int(c["batch_size"])
+        best_accs = []
+        for run in range(int(c["num_runs"])):
+            if run > 0:
+                self._flip_labels()
+            s1 = S.init_state(self.next_key(), spec, self.optimizer)
+            s2 = S.init_state(self.next_key(), spec, self.optimizer)
+            best = 0.0
+            for epoch in range(int(c["max_epochs"])):
+                fr = jnp.float32(self.rate_schedule[epoch])
+                step = step1 if epoch > 0 else step0
+                agg, nb = {}, 0
+                for batch in self.epoch_batches(train_idx, bs):
+                    s1, s2, m = step(s1, s2, self.data, batch, self.next_key(), fr)
+                    nb += 1
+                    for k, v in m.items():
+                        agg[k] = agg.get(k, 0.0) + float(v)
+                acc1 = evaluate(s1.params)
+                acc2 = evaluate(s2.params)
+                best = max(best, acc1["test"], acc2["test"])
+                self.metrics.write(
+                    event="epoch_ctp", run=run, epoch=epoch,
+                    **{k: v / nb for k, v in agg.items()},
+                    val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
+                    test_acc_1=acc1["test"], test_acc_2=acc2["test"],
+                )
+                if c["epoch_logger"] and not ((epoch + 1) % 5):
+                    self.logger.info(
+                        f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
+                        f"v1: {acc1['valid']:.3f} v2: {acc2['valid']:.3f} "
+                        f"tst1: {acc1['test']:.3f} tst2: {acc2['test']:.3f}"
+                    )
+            self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
+            best_accs.append(best)
+        return self._report_runs("ctp", best_accs)
+
+
+class PipelineH(BasePipeline):
+    """Co-teaching + pseudo-labeler third net on a rewired graph
+    (reference PipelineH, src/pipeline_h.py)."""
+
+    schedule_variant = "ogb"
+
+    def loop(self):
+        c = self.config
+        spec = self.spec_for()  # sage or sageH
+        pseudo_spec = self.spec_for("sage")
+        step0 = S.make_h_step(spec, pseudo_spec, self.optimizer, self.fanouts,
+                              use_pseudo=False)
+        step1 = S.make_h_step(spec, pseudo_spec, self.optimizer, self.fanouts,
+                              use_pseudo=True,
+                              rewire_rate=float(c.get("spl_rewire_rate", 0.2)))
+        evaluate = self.make_eval(spec)
+        train_idx = self.split_idx["train"]
+        bs = int(c["batch_size"])
+        best_accs = []
+        for run in range(int(c["num_runs"])):
+            if run > 0:
+                self._flip_labels()
+            joint = (
+                nets.init_params(self.next_key(), spec),
+                nets.init_params(self.next_key(), spec),
+                nets.init_params(self.next_key(), pseudo_spec),
+            )
+            s = S.TrainState(joint, self.optimizer.init(joint))
+            best = 0.0
+            for epoch in range(int(c["max_epochs"])):
+                fr = jnp.float32(self.rate_schedule[epoch])
+                step = step1 if epoch > 0 else step0
+                agg, nb = {}, 0
+                for batch in self.epoch_batches(train_idx, bs):
+                    s, m = step(s, self.data, batch, self.next_key(), fr)
+                    nb += 1
+                    for k, v in m.items():
+                        agg[k] = agg.get(k, 0.0) + float(v)
+                acc1 = evaluate(s.params[0])
+                acc2 = evaluate(s.params[1])
+                best = max(best, acc1["test"], acc2["test"])
+                self.metrics.write(
+                    event="epoch_h", run=run, epoch=epoch,
+                    **{k: v / nb for k, v in agg.items()},
+                    val_acc_1=acc1["valid"], test_acc_1=acc1["test"],
+                    val_acc_2=acc2["valid"], test_acc_2=acc2["test"],
+                )
+            self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
+            best_accs.append(best)
+        return self._report_runs("h", best_accs)
+
+
+class PipelineCT(BasePipeline):
+    """Contrastive pretrain/finetune (reference PipelineCT,
+    src/pipeline_contrast.py): co-teaching warmup with checkpointing ->
+    small-loss split into clean/noisy -> semi-supervised CE on clean +
+    multi-view contrastive on noisy."""
+
+    schedule_variant = "contrast"
+
+    def loop(self):
+        from ..augment.edges import augment_edges_pos
+        from ..augment.features import shuffle_pos as shuffle_pos_dev, shuffle_neg
+
+        c = self.config
+        g = self.graph
+        # intended module is sageFC (config_contrast.yml:13; unwired in the
+        # reference's NGNN — wired here per SURVEY §7.3 item 8)
+        spec = self.spec_for()
+        warm_step = S.make_ct_step(spec, self.optimizer, self.fanouts)
+        evaluate = self.make_eval(spec)
+        train_idx = self.split_idx["train"]
+        bs = int(c["batch_size"])
+
+        # ---- graph augmentation views (host-side, one-time)
+        views = {}
+        if c.get("augment_edge", True):
+            edge_s = augment_edges_pos(g.edge_index, g.num_nodes, float(c["prob_s"]), self.rng)
+            edge_l = augment_edges_pos(g.edge_index, g.num_nodes, float(c["prob_l"]), self.rng)
+        else:
+            edge_s = edge_l = g.edge_index
+        if c.get("augment_feat", True):
+            feat_s = np.asarray(
+                shuffle_pos_dev(self.next_key(), jnp.asarray(g.x), float(c["prob_s"]))
+            )
+            feat_l = np.asarray(shuffle_neg(self.next_key(), jnp.asarray(g.x)))
+        else:
+            feat_s = feat_l = g.x
+        from ..graph.containers import CSRGraph
+
+        views = {
+            "orig": (self.data.x, self.data.csr),
+            "edge_s": (self.data.x, CSRGraph.from_coo(edge_s, g.num_nodes)),
+            "feat_s": (jnp.asarray(feat_s), self.data.csr),
+            "large": (jnp.asarray(feat_l), CSRGraph.from_coo(edge_l, g.num_nodes)),
+        }
+
+        # ---- phase 1: warmup with best-val checkpointing
+        s1 = S.init_state(self.next_key(), spec, self.optimizer)
+        s2 = S.init_state(self.next_key(), spec, self.optimizer)
+        best_val, best_params = 0.0, s1.params
+        warmup = int(c["warmup"])
+        for epoch in range(warmup):
+            fr = jnp.float32(self.rate_schedule[epoch])
+            for batch in self.epoch_batches(train_idx, bs):
+                s1, s2, m = warm_step(s1, s2, self.data, batch, self.next_key(), fr)
+            acc1 = evaluate(s1.params)
+            acc2 = evaluate(s2.params)
+            self.metrics.write(event="warmup", epoch=epoch,
+                               val_acc_1=acc1["valid"], val_acc_2=acc2["valid"])
+            self.logger.info(
+                f"   Warmup epoch {epoch + 1}/{warmup} --- "
+                f"v1: {acc1['valid']:.3f} v2: {acc2['valid']:.3f}"
+            )
+            if acc1["valid"] > best_val:
+                best_val, best_params = acc1["valid"], s1.params
+                ckpt = f"{c['out_dir']}/models/{c['algo_type']}{self.output_name}"
+                save_checkpoint(ckpt + "_m1", s1.params, {"epoch": epoch})
+                save_checkpoint(ckpt + "_m2", s2.params, {"epoch": epoch})
+                self.logger.info("   Saved  model")
+
+        # ---- split into clean / noisy by small-loss selection
+        clean_ids, noisy_ids = self._split(spec, s1.params, s2.params, warmup - 1)
+        cr = self.clean[clean_ids].mean() if clean_ids.size else float("nan")
+        self.logger.info(
+            f"clean ratio in clean {cr:.3f}; "
+            f"nbr clean {clean_ids.shape[0]}, noisy {noisy_ids.shape[0]}"
+        )
+        # oversample noisy to clean size (reference pipeline_contrast.py:336-338)
+        if noisy_ids.size and clean_ids.size > noisy_ids.size:
+            extra = self.rng.integers(0, clean_ids.size, clean_ids.size - noisy_ids.size)
+            noisy_ids = np.concatenate([noisy_ids, clean_ids[extra]])
+
+        # ---- phase 2: semi + contrastive finetune of model1
+        ft_opt = optax.adam(float(c.get("next_lr", c["learning_rate"])))
+        ft_step = S.make_contrast_train_step(spec, ft_opt, self.fanouts,
+                                             lam=float(c["lambda"]))
+        s = S.TrainState(best_params, ft_opt.init(best_params))
+        bs2 = min(1024, max(clean_ids.size, 1))
+        for epoch in range(warmup, int(c["max_epochs"])):
+            batches_c = list(self.epoch_batches(clean_ids, bs2))
+            batches_n = list(self.epoch_batches(noisy_ids, bs2))
+            agg, nb = {}, 0
+            for bc, bn in zip(batches_c, batches_n):
+                s, m = ft_step(s, self.data, views, bc, bn, self.next_key())
+                nb += 1
+                for k, v in m.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+            acc = evaluate(s.params)
+            self.metrics.write(event="finetune", epoch=epoch,
+                               **{k: v / nb for k, v in agg.items()},
+                               val_acc=acc["valid"], test_acc=acc["test"])
+            self.logger.info(
+                f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
+                f"loss semi: {agg.get('loss_semi', 0) / max(nb, 1):.3f} "
+                f"loss cont: {agg.get('loss_cont', 0) / max(nb, 1):.3f} "
+                f"val acc {acc['valid']:.3f}"
+            )
+        return evaluate(s.params)
+
+    def _split(self, spec, p1, p2, epoch):
+        """Small-loss partition of the train set (reference split(),
+        src/pipeline_contrast.py:110-131 — note it feeds SOFTMAX outputs to
+        CTLoss; replicated)."""
+        from ..losses.coteaching import ct_loss
+
+        c = self.config
+        eval_fn = S.make_eval_fn(spec)
+        logits = eval_fn(p1, self.data.x, self._full_edge_index)
+        logits2 = eval_fn(p2, self.data.x, self._full_edge_index)
+        train_idx = self.split_idx["train"]
+        fr = jnp.float32(self.rate_schedule[epoch])
+        clean_ids, noisy_ids = [], []
+        for batch in self.epoch_batches(train_idx, int(c["batch_size"]), shuffle=False):
+            o1 = jax.nn.softmax(jnp.take(logits, batch.seeds, axis=0), axis=-1)
+            o2 = jax.nn.softmax(jnp.take(logits2, batch.seeds, axis=0), axis=-1)
+            yb = jnp.take(self.data.yhn, batch.seeds)
+            cb = jnp.take(self.data.clean, batch.seeds)
+            out = ct_loss(o1, o2, yb, fr, cb, sample_mask=batch.mask)
+            seeds = np.asarray(batch.seeds)
+            clean_ids.append(seeds[np.asarray(out.keep_1)])
+            noisy_ids.append(seeds[np.asarray(out.noisy_1)])
+        return np.concatenate(clean_ids), np.concatenate(noisy_ids)
+
+
+class PipelineSG(BasePipeline):
+    """Grid search over spl_cont_beta x ct_tau re-running TES-style training
+    (reference PipelineSG, src/pipeline_sgrid.py:176-241)."""
+
+    schedule_variant = "small"
+
+    def loop(self):
+        c = self.config
+        results = []
+        for beta in c.get("grid_beta", [1.0]):
+            for tau in c.get("grid_tau", [0.2]):
+                sub = dict(c)
+                sub["spl_cont_beta"] = float(beta)
+                sub["ct_tau"] = float(tau)
+                sub["num_runs"] = 1
+                sub["do_plot"] = False
+                pipe = PipelineTES(sub)
+                mean, std = pipe.loop()
+                results.append({"beta": float(beta), "tau": float(tau),
+                                "acc": mean, "std": std})
+                self.logger.info(f"   grid beta={beta} tau={tau} -> {mean:.3f}")
+        results.sort(key=lambda r: -r["acc"])
+        for r in results[:12]:
+            self.logger.info(
+                f"   top: beta={r['beta']} tau={r['tau']} acc={r['acc']:.3f}"
+            )
+        self.metrics.write(event="grid_results", results=results)
+        return results
+
+
+class PipelineA(BasePipeline):
+    """TES-style training instrumented with selection-quality analysis:
+    per-epoch accuracy on clean-kept vs noisy-rejected subsets, best-model
+    checkpoint, confusion matrix (reference PipelineA,
+    src/pipeline_analysis.py)."""
+
+    schedule_variant = "small"
+
+    def loop(self):
+        c = self.config
+        spec = self.spec_for()
+        step = S.make_ct_step(spec, self.optimizer, self.fanouts)
+        evaluate = self.make_eval(spec)
+        eval_fn = S.make_eval_fn(spec)
+        train_idx = self.split_idx["train"]
+        bs = int(c["batch_size"])
+        s1 = S.init_state(self.next_key(), spec, self.optimizer)
+        s2 = S.init_state(self.next_key(), spec, self.optimizer)
+        best_val, best_params = 0.0, s1.params
+        from ..losses.coteaching import ct_loss
+
+        for epoch in range(int(c["max_epochs"])):
+            fr = jnp.float32(self.rate_schedule[epoch])
+            for batch in self.epoch_batches(train_idx, bs):
+                s1, s2, m = step(s1, s2, self.data, batch, self.next_key(), fr)
+            # selection-quality probes on the train set
+            logits = eval_fn(s1.params, self.data.x, self._full_edge_index)
+            sel_stats = {"clean_correct": 0, "clean_total": 0,
+                         "noisy_correct": 0, "noisy_total": 0}
+            logits2 = eval_fn(s2.params, self.data.x, self._full_edge_index)
+            for batch in self.epoch_batches(train_idx, bs, shuffle=False):
+                o1 = jnp.take(logits, batch.seeds, axis=0)
+                o2 = jnp.take(logits2, batch.seeds, axis=0)
+                yb = jnp.take(self.data.yhn, batch.seeds)
+                cb = jnp.take(self.data.clean, batch.seeds)
+                out = ct_loss(o1, o2, yb, fr, cb, sample_mask=batch.mask)
+                pred = np.asarray(jnp.argmax(o1, -1))
+                ytrue = np.asarray(jnp.take(self.data.y, batch.seeds))
+                keep = np.asarray(out.keep_1)
+                noisy = np.asarray(out.noisy_1)
+                sel_stats["clean_correct"] += int((pred[keep] == ytrue[keep]).sum())
+                sel_stats["clean_total"] += int(keep.sum())
+                sel_stats["noisy_correct"] += int((pred[noisy] == ytrue[noisy]).sum())
+                sel_stats["noisy_total"] += int(noisy.sum())
+            acc = evaluate(s1.params)
+            if acc["valid"] > best_val:
+                best_val, best_params = acc["valid"], s1.params
+                save_checkpoint(
+                    f"{c['out_dir']}/models/analysis{self.output_name}_best",
+                    s1.params, {"epoch": epoch, "val_acc": acc["valid"]},
+                )
+            self.metrics.write(
+                event="epoch_analysis", epoch=epoch,
+                clean_sel_acc=sel_stats["clean_correct"] / max(sel_stats["clean_total"], 1),
+                noisy_sel_acc=sel_stats["noisy_correct"] / max(sel_stats["noisy_total"], 1),
+                val_acc=acc["valid"], test_acc=acc["test"],
+            )
+        # confusion matrix of the best model (reference pipeline_analysis.py:227)
+        logits = eval_fn(best_params, self.data.x, self._full_edge_index)
+        pred = np.asarray(jnp.argmax(logits, -1))
+        cm = confusion_matrix(self.graph.y[self.split_idx["test"]],
+                              pred[self.split_idx["test"]], self.graph.num_classes)
+        np.save(f"{c['out_dir']}/metrics/confusion_{self.output_name}.npy", cm)
+        self.logger.info(f"   best val {best_val:.3f}; confusion matrix saved")
+        return {"best_val": best_val, "confusion": cm}

@@ -1,0 +1,561 @@
+"""Jitted train steps: sampling + forward + loss + update in ONE compiled
+program per step (kills the per-step host sync of the reference's CTLoss,
+src/utils/losses.py:21-25, and the loader worker processes).
+
+Each ``make_*`` factory closes over *static* configuration only; all arrays
+(features, labels, CSR graph) travel through the ``GraphData`` pytree
+argument so nothing large is baked into the executable as a constant.
+
+Step inventory (reference pipeline -> factory):
+  PipelineCO / PipelineS  -> make_ct_step, make_baseline_step   (tree mode)
+  PipelineTE / PipelineTES / PipelineSG / PipelineA
+                          -> make_te_step                      (subgraph mode)
+  PipelineCTP             -> make_ctp_step
+  PipelineH               -> make_h_step
+  PipelineCT              -> make_ct_step (warmup) + make_contrast_train_step
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..augment.features import shuffle_pos
+from ..augment.rewire import topk_rewire
+from ..graph.containers import CSRGraph
+from ..losses.coteaching import backward_correction, codi_loss, cross_entropy, ct_loss
+from ..losses.consistency import fix_cr, get_uncertainty
+from ..losses.contrastive import (
+    bce_expert_loss,
+    bce_expert_loss2,
+    discriminator_innerprod,
+    discriminator_innerprod2,
+)
+from ..models import nets
+from ..ops.sampler import sample_khop_tree
+
+Array = jax.Array
+
+
+class GraphData(NamedTuple):
+    """Device-resident training data (a pytree; pass, don't close over)."""
+
+    x: Array  # [N, F] features
+    y: Array  # [N] true labels
+    yhn: Array  # [N] noisy labels
+    clean: Array  # [N] bool, True = label clean (noise_or_not oracle)
+    csr: CSRGraph  # reversed-CSR for in-neighbor sampling
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+
+
+def init_state(key: Array, spec: nets.NetSpec, optimizer) -> TrainState:
+    params = nets.init_params(key, spec)
+    return TrainState(params, optimizer.init(params))
+
+
+class Batch(NamedTuple):
+    """Per-step host-provided seed batch."""
+
+    seeds: Array  # [B] global node ids (padded)
+    mask: Array  # [B] bool, False on padding
+
+
+def _tree_logits(spec, params, data, tb, key, train, noise_rate=0.1):
+    xs = tb.gather_features(data.x)
+    out = nets.apply_tree(
+        spec,
+        params,
+        xs,
+        list(tb.masks),
+        tb.fanouts,
+        train=train,
+        key=key,
+        n_ids=list(tb.n_ids),
+        noise_rate=noise_rate,
+    )
+    return out
+
+
+def _seed_labels(data, batch):
+    yb = jnp.take(data.yhn, batch.seeds)
+    yt = jnp.take(data.y, batch.seeds)
+    cb = jnp.take(data.clean, batch.seeds)
+    return yb, yt, cb
+
+
+def _acc_count(logits, y_true, mask):
+    pred = jnp.argmax(logits, axis=-1)
+    return jnp.sum((pred == y_true) & mask)
+
+
+# ------------------------------------------------------------ co-teaching
+
+
+def make_ct_step(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    algo: str = "coteaching",
+    co_lambda: float = 0.1,
+):
+    """Dual-network co-teaching step, both nets + both optimizers in one jit
+    (reference hot loop: src/pipeline.py:110-133)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(
+        s1: TrainState,
+        s2: TrainState,
+        data: GraphData,
+        batch: Batch,
+        key: Array,
+        forget_rate: Array,
+    ):
+        kb, k1, k2 = jax.random.split(key, 3)
+        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
+        yb, yt, cb = _seed_labels(data, batch)
+
+        def loss_fn(p1, p2):
+            o1 = _tree_logits(spec, p1, data, tb, k1, True)["logits"]
+            o2 = _tree_logits(spec, p2, data, tb, k2, True)["logits"]
+            if algo == "codi":
+                out = codi_loss(o1, o2, yb, forget_rate, cb, co_lambda, batch.mask)
+            else:
+                out = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
+            return out.loss_1 + out.loss_2, (out, o1, o2)
+
+        (_, (out, o1, o2)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(s1.params, s2.params)
+        u1, os1 = optimizer.update(grads[0], s1.opt_state, s1.params)
+        u2, os2 = optimizer.update(grads[1], s2.opt_state, s2.params)
+        metrics = {
+            "loss_1": out.loss_1,
+            "loss_2": out.loss_2,
+            "pure_ratio_1": out.pure_ratio_1,
+            "pure_ratio_2": out.pure_ratio_2,
+            "correct_1": _acc_count(o1, yt, batch.mask),
+            "correct_2": _acc_count(o2, yt, batch.mask),
+        }
+        return (
+            TrainState(optax.apply_updates(s1.params, u1), os1),
+            TrainState(optax.apply_updates(s2.params, u2), os2),
+            metrics,
+        )
+
+    return step
+
+
+def make_baseline_step(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    compare_loss: str = "normal",
+):
+    """Plain CE / backward-correction baseline (reference train(),
+    src/pipeline.py:144-173). noise_mat rides along for 'back'."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(
+        s: TrainState,
+        data: GraphData,
+        batch: Batch,
+        key: Array,
+        noise_mat: Array,
+    ):
+        kb, kd = jax.random.split(key)
+        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
+        yb, yt, _ = _seed_labels(data, batch)
+
+        def loss_fn(p):
+            o = _tree_logits(spec, p, data, tb, kd, True)["logits"]
+            if compare_loss == "back":
+                loss = backward_correction(o, yb, noise_mat, batch.mask)
+            else:
+                ce = cross_entropy(o, yb)
+                w = batch.mask.astype(jnp.float32)
+                loss = jnp.sum(ce * w) / jnp.maximum(w.sum(), 1.0)
+            return loss, o
+
+        (loss, o), grads = jax.value_and_grad(loss_fn, has_aux=True)(s.params)
+        u, os_ = optimizer.update(grads, s.opt_state, s.params)
+        metrics = {"loss": loss, "correct": _acc_count(o, yt, batch.mask)}
+        return TrainState(optax.apply_updates(s.params, u), os_), metrics
+
+    return step
+
+
+# ------------------------------------------- sagePL co-teaching+contrastive
+
+
+def _flat_subgraph(data, tb):
+    """Flat seed-first subgraph view of a sampled tree."""
+    n_id = tb.flat_n_id()
+    node_mask = tb.flat_node_mask()
+    edge_index, edge_mask = tb.flat_edges()
+    x_sub = jnp.take(data.x, n_id, axis=0)
+    x_sub = jnp.where(node_mask[:, None], x_sub, 0)
+    return x_sub, n_id, node_mask, edge_index, edge_mask
+
+
+def make_te_step(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    algo: str = "coteaching",
+    co_lambda: float = 0.1,
+    use_contrast: bool = False,
+    spl_cont_beta: float = 1.0,
+    spl_rewire_rate: float = 0.1,
+    spl_noise_rate_pos: float = 0.1,
+    spl_noise_rate_neg: float = 0.1,
+):
+    """sagePL dual-branch co-teaching + (after ct_tk) topk-rewire contrastive
+    on noisy-selected seeds, single joint optimizer over both nets
+    (reference PipelineTE.train_ct, src/pipeline_test.py:92-162).
+
+    ``use_contrast`` is static — the epoch <= ct_tk phase compiles without the
+    rewiring graphs, matching `if epoch > ct_tk` (src/pipeline_test.py:123).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(
+        s: TrainState,
+        data: GraphData,
+        batch: Batch,
+        key: Array,
+        forget_rate: Array,
+    ):
+        kb, k1, k2, k3, k4, k5, k6, kshuf = jax.random.split(key, 8)
+        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
+        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
+        n_sub = x_sub.shape[0]
+        bsz = tb.batch_size
+        yb, yt, cb = _seed_labels(data, batch)
+
+        def loss_fn(joint):
+            p1, p2 = joint
+            out1 = nets.apply(
+                spec, p1, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
+                train=True, key=k1, n_id=n_id, noise_rate=spl_noise_rate_pos,
+            )
+            out2 = nets.apply(
+                spec, p2, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
+                train=True, key=k2, n_id=n_id, noise_rate=spl_noise_rate_pos,
+            )
+            o1 = out1["z_pure"][:bsz]
+            o2 = out2["z_pure"][:bsz]
+            if algo == "codi":
+                ct = codi_loss(o1, o2, yb, forget_rate, cb, co_lambda, batch.mask)
+            else:
+                ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
+            loss = ct.loss_1 + ct.loss_2
+            aux = {"ct": ct, "o1": o1, "o2": o2,
+                   "loss_cont_1": jnp.float32(0), "loss_cont_2": jnp.float32(0)}
+            if use_contrast:
+                (pos_e, pos_m), (neg_e, neg_m) = topk_rewire(
+                    out1["h_pure"], edge_index, edge_mask, spl_rewire_rate
+                )
+                # positive views: pure branch on the rewired graph
+                hedge1 = nets.apply(
+                    spec, p1, x_sub, pos_e, num_nodes=n_sub, edge_mask=pos_m,
+                    train=True, key=k3, n_id=n_id, noise_rate=spl_noise_rate_pos,
+                )["h_pure"]
+                hedge2 = nets.apply(
+                    spec, p2, x_sub, pos_e, num_nodes=n_sub, edge_mask=pos_m,
+                    train=True, key=k4, n_id=n_id, noise_rate=spl_noise_rate_pos,
+                )["h_pure"]
+                # negative views: noisy branch on shuffled features + neg graph
+                new_x = shuffle_pos(kshuf, x_sub, spl_noise_rate_neg)
+                hneg1 = nets.apply(
+                    spec, p1, new_x, neg_e, num_nodes=n_sub, edge_mask=neg_m,
+                    train=True, key=k5, n_id=n_id, noise_rate=spl_noise_rate_neg,
+                )["h_noisy"]
+                hneg2 = nets.apply(
+                    spec, p2, new_x, neg_e, num_nodes=n_sub, edge_mask=neg_m,
+                    train=True, key=k6, n_id=n_id, noise_rate=spl_noise_rate_neg,
+                )["h_noisy"]
+                lp1, ln1 = discriminator_innerprod(
+                    out1["h_pure"][:bsz], hedge1[:bsz], hneg1[:bsz]
+                )
+                lp2, ln2 = discriminator_innerprod(
+                    out2["h_pure"][:bsz], hedge2[:bsz], hneg2[:bsz]
+                )
+                lc1 = bce_expert_loss(lp1, ln1, ct.noisy_1, ct.noisy_1)
+                lc2 = bce_expert_loss(lp2, ln2, ct.noisy_2, ct.noisy_2)
+                loss = loss + spl_cont_beta * (lc1 + lc2)
+                aux["loss_cont_1"] = lc1
+                aux["loss_cont_2"] = lc2
+            return loss, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(s.params)
+        u, os_ = optimizer.update(grads, s.opt_state, s.params)
+        ct = aux["ct"]
+        metrics = {
+            "loss_1": ct.loss_1,
+            "loss_2": ct.loss_2,
+            "pure_ratio_1": ct.pure_ratio_1,
+            "pure_ratio_2": ct.pure_ratio_2,
+            "loss_cont_1": aux["loss_cont_1"],
+            "loss_cont_2": aux["loss_cont_2"],
+            "correct_1": _acc_count(aux["o1"], yt, batch.mask),
+            "correct_2": _acc_count(aux["o2"], yt, batch.mask),
+        }
+        return TrainState(optax.apply_updates(s.params, u), os_), metrics
+
+    return step
+
+
+# ------------------------------------------------- co-teaching + consistency
+
+
+def make_ctp_step(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    use_cr: bool = False,
+    beta: float = 1.0,
+    spl_noise: float = 0.1,
+):
+    """Co-teaching + FixMatch consistency weighted by neighborhood-entropy
+    uncertainty (reference PipelineCTP.train_ct, src/pipeline_ctp.py:85-177;
+    the reference's dead ``topk_rewire``/``noisy_rate=`` stale-API calls are
+    intentionally dropped — see SURVEY §7.3 item 8)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(
+        s1: TrainState,
+        s2: TrainState,
+        data: GraphData,
+        batch: Batch,
+        key: Array,
+        forget_rate: Array,
+    ):
+        kb, k1, k2 = jax.random.split(key, 3)
+        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
+        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
+        n_sub = x_sub.shape[0]
+        bsz = tb.batch_size
+        yb, yt, cb = _seed_labels(data, batch)
+
+        def one_loss(p, k):
+            out = nets.apply(
+                spec, p, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
+                train=True, key=k, n_id=n_id, noise_rate=spl_noise,
+            )
+            return out
+
+        def loss_fn(p1, p2):
+            out1 = one_loss(p1, k1)
+            out2 = one_loss(p2, k2)
+            o1 = out1["z_pure"][:bsz]
+            o2 = out2["z_pure"][:bsz]
+            ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
+            loss1, loss2 = ct.loss_1, ct.loss_2
+            cr1 = cr2 = jnp.float32(0)
+            if use_cr:
+                w1 = jax.lax.stop_gradient(
+                    get_uncertainty(edge_index, out1["y_pure"], spec.out_size, edge_mask)
+                )
+                w2 = jax.lax.stop_gradient(
+                    get_uncertainty(edge_index, out2["y_pure"], spec.out_size, edge_mask)
+                )
+                cr1 = fix_cr(out1["y_pure"], out1["y_noisy"], bsz, w=w1,
+                             sample_mask=batch.mask)
+                cr2 = fix_cr(out2["y_pure"], out2["y_noisy"], bsz, w=w2,
+                             sample_mask=batch.mask)
+                loss1 = loss1 + beta * cr1
+                loss2 = loss2 + beta * cr2
+            return loss1 + loss2, (ct, o1, o2, cr1, cr2)
+
+        (_, (ct, o1, o2, cr1, cr2)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(s1.params, s2.params)
+        u1, os1 = optimizer.update(grads[0], s1.opt_state, s1.params)
+        u2, os2 = optimizer.update(grads[1], s2.opt_state, s2.params)
+        metrics = {
+            "loss_1": ct.loss_1 + beta * cr1,
+            "loss_2": ct.loss_2 + beta * cr2,
+            "loss_cr_1": cr1,
+            "loss_cr_2": cr2,
+            "pure_ratio_1": ct.pure_ratio_1,
+            "pure_ratio_2": ct.pure_ratio_2,
+            "correct_1": _acc_count(o1, yt, batch.mask),
+            "correct_2": _acc_count(o2, yt, batch.mask),
+        }
+        return (
+            TrainState(optax.apply_updates(s1.params, u1), os1),
+            TrainState(optax.apply_updates(s2.params, u2), os2),
+            metrics,
+        )
+
+    return step
+
+
+# ------------------------------------------------- pseudo-label co-teaching
+
+
+def make_h_step(
+    spec: nets.NetSpec,
+    pseudo_spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    use_pseudo: bool = False,
+    beta: float = 1.0,
+    rewire_rate: float = 0.2,
+):
+    """Co-teaching + third pseudo-labeler net on a topk-rewired graph,
+    one joint optimizer over all three nets (reference PipelineH.train_ct,
+    src/pipeline_h.py:95-175). State params = (p1, p2, p_pseudo)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(
+        s: TrainState,
+        data: GraphData,
+        batch: Batch,
+        key: Array,
+        forget_rate: Array,
+    ):
+        kb, k1, k2, k3 = jax.random.split(key, 4)
+        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
+        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
+        n_sub = x_sub.shape[0]
+        bsz = tb.batch_size
+        yb, yt, cb = _seed_labels(data, batch)
+
+        def loss_fn(joint):
+            p1, p2, pp = joint
+            o1 = nets.apply(spec, p1, x_sub, edge_index, num_nodes=n_sub,
+                            edge_mask=edge_mask, train=True, key=k1)["logits"][:bsz]
+            o2 = nets.apply(spec, p2, x_sub, edge_index, num_nodes=n_sub,
+                            edge_mask=edge_mask, train=True, key=k2)["logits"][:bsz]
+            ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
+            loss = ct.loss_1 + ct.loss_2
+            loss_pred = loss_add = jnp.float32(0)
+            if use_pseudo:
+                # pseudo labels from the rewired (positive) graph, raw features
+                (pos_e, pos_m), _ = topk_rewire(x_sub, edge_index, edge_mask, rewire_rate)
+                pl = nets.apply(pseudo_spec, pp, x_sub, pos_e, num_nodes=n_sub,
+                                edge_mask=pos_m, train=True, key=k3)["logits"][:bsz]
+                pred_soft = jax.lax.stop_gradient(jax.nn.softmax(pl, axis=-1))
+                logp1 = jax.nn.log_softmax(o1, axis=-1)
+                logp2 = jax.nn.log_softmax(o2, axis=-1)
+                w1 = ct.noisy_1.astype(jnp.float32)
+                w2 = ct.noisy_2.astype(jnp.float32)
+                add1 = jnp.sum(-jnp.sum(pred_soft * logp1, -1) * w1) / jnp.maximum(w1.sum(), 1.0)
+                add2 = jnp.sum(-jnp.sum(pred_soft * logp2, -1) * w2) / jnp.maximum(w2.sum(), 1.0)
+                loss_add = add1 + add2
+                wm = batch.mask.astype(jnp.float32)
+                ce_p = jnp.sum(cross_entropy(pl, yb) * wm) / jnp.maximum(wm.sum(), 1.0)
+                loss_pred = 2.0 * ce_p  # reference sums CE for both (identical) clones
+                loss = loss + loss_pred + beta * loss_add
+            return loss, (ct, o1, o2, loss_pred, loss_add)
+
+        (_, (ct, o1, o2, lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            s.params
+        )
+        u, os_ = optimizer.update(grads, s.opt_state, s.params)
+        metrics = {
+            "loss_1": ct.loss_1,
+            "loss_2": ct.loss_2,
+            "loss_pred": lp,
+            "loss_add": la,
+            "pure_ratio_1": ct.pure_ratio_1,
+            "pure_ratio_2": ct.pure_ratio_2,
+            "correct_1": _acc_count(o1, yt, batch.mask),
+            "correct_2": _acc_count(o2, yt, batch.mask),
+        }
+        return TrainState(optax.apply_updates(s.params, u), os_), metrics
+
+    return step
+
+
+# --------------------------------------------- contrastive pretrain/finetune
+
+
+def make_contrast_train_step(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    lam: float = 1.0,
+):
+    """Phase-2 step of PipelineCT (reference src/pipeline_contrast.py:133-183):
+    semi-supervised CE on clean seeds + inner-product contrastive over four
+    views of noisy seeds (orig / edge-augmented / feature-shuffled as
+    positives, edge+feature-large as negative).
+
+    ``views`` is a GraphData-like pytree per view (same y/yhn; x and csr can
+    differ). State params: single finetuned net (model1)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(
+        s: TrainState,
+        data: GraphData,
+        views: dict,  # {'orig','edge_s','feat_s','large'} -> (x, csr)
+        clean_batch: Batch,
+        noisy_batch: Batch,
+        key: Array,
+    ):
+        keys = jax.random.split(key, 12)
+        yb = jnp.take(data.yhn, clean_batch.seeds)
+        yt = jnp.take(data.y, clean_batch.seeds)
+
+        def embed(p, x, csr, batch, kk, kd):
+            tb = sample_khop_tree(kk, csr, batch.seeds, fanouts, batch.mask)
+            xs = [jnp.take(x, ids, axis=0) for ids in tb.n_ids]
+            out = nets.apply_tree(
+                spec, p, xs, list(tb.masks), fanouts, train=True, key=kd
+            )
+            return out
+
+        def loss_fn(p):
+            out_c = embed(p, data.x, data.csr, clean_batch, keys[0], keys[1])
+            o_semi = out_c["logits"]
+            w = clean_batch.mask.astype(jnp.float32)
+            loss_semi = jnp.sum(cross_entropy(o_semi, yb) * w) / jnp.maximum(w.sum(), 1.0)
+
+            h = embed(p, *views["orig"], noisy_batch, keys[2], keys[3])["h"]
+            h_s1 = embed(p, *views["edge_s"], noisy_batch, keys[4], keys[5])["h"]
+            h_s2 = embed(p, *views["feat_s"], noisy_batch, keys[6], keys[7])["h"]
+            h_l = embed(p, *views["large"], noisy_batch, keys[8], keys[9])["h"]
+            lp1, lp2, ln = discriminator_innerprod2(h, h_s1, h_s2, h_l)
+            loss_cont = bce_expert_loss2(lp1, lp2, ln, noisy_batch.mask, noisy_batch.mask)
+            return loss_semi + lam * loss_cont, (loss_semi, loss_cont, o_semi)
+
+        (loss, (ls, lc, o)), grads = jax.value_and_grad(loss_fn, has_aux=True)(s.params)
+        u, os_ = optimizer.update(grads, s.opt_state, s.params)
+        metrics = {
+            "loss_semi": ls,
+            "loss_cont": lc,
+            "loss": loss,
+            "correct": _acc_count(o, yt, clean_batch.mask),
+        }
+        return TrainState(optax.apply_updates(s.params, u), os_), metrics
+
+    return step
+
+
+# ------------------------------------------------------------------- eval
+
+
+def make_eval_fn(spec: nets.NetSpec):
+    """Full-graph forward -> logits, entirely on device (replaces the
+    reference's layer-wise host-staged inference, src/models/layers/sage.py:42-58).
+    For sagePL/sageH/sageFC the eval path is the plain conv stack (parity with
+    their ``inference``)."""
+
+    @jax.jit
+    def logits_fn(params: dict, x: Array, edge_index: Array):
+        out = nets.apply(spec, params, x, edge_index, train=False)
+        if spec.module == "sagePL":
+            return out["z_pure"]
+        return out["logits"]
+
+    return logits_fn

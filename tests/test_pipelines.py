@@ -1,0 +1,119 @@
+"""Pipeline integration: each pipeline runs a tiny config end-to-end and the
+noise-robust path beats chance (reference's empirical-validation style,
+SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from noise_gnn_tpu.train.pipelines import (
+    PipelineA,
+    PipelineCO,
+    PipelineCT,
+    PipelineCTP,
+    PipelineH,
+    PipelineS,
+    PipelineSG,
+    PipelineTES,
+)
+from noise_gnn_tpu.utils.config import DEFAULTS
+
+
+def tiny_config(tmp_path, **over):
+    cfg = dict(DEFAULTS)
+    cfg.update(
+        dataset_name="cora",
+        synthetic_scale=16,
+        hidden_size=32,
+        num_layers=2,
+        nbr_neighbors=[5, 3],
+        num_runs=1,
+        max_epochs=4,
+        batch_size=128,
+        noise_rate=0.3,
+        noise_type="sym",
+        ct_tk=2,
+        ct_tau=0.5,
+        epoch_logger=False,
+        out_dir=str(tmp_path),
+        seed=0,
+    )
+    cfg.update(over)
+    return cfg
+
+
+def test_pipeline_s_both(tmp_path):
+    cfg = tiny_config(tmp_path, train_type="both", compare_loss="back")
+    res = PipelineS(cfg).loop()
+    assert "nalgo" in res and "baseline" in res
+    mean, std = res["nalgo"]
+    assert mean > 2.0 / cfg["nbr_classes"]  # far above chance
+    # metrics stream written
+    import glob, json
+
+    files = glob.glob(str(tmp_path / "metrics" / "*.jsonl"))
+    assert files
+    lines = [json.loads(l) for l in open(files[0])]
+    assert any(r.get("event") == "epoch_ct" for r in lines)
+
+
+def test_pipeline_co_products_frac(tmp_path):
+    cfg = tiny_config(
+        tmp_path,
+        dataset_name="ogbn-products",
+        synthetic_scale=2000,
+        whole_test_set=False,
+        train_frac=2,
+        tvalid_frac=2,
+        test_frac=4,
+        train_type="nalgo",
+        max_epochs=2,
+    )
+    res = PipelineCO(cfg).loop()
+    assert np.isfinite(res["nalgo"][0])
+
+
+def test_pipeline_tes(tmp_path):
+    cfg = tiny_config(tmp_path, module="sagePL", train_type="nalgo",
+                      algo_type="coteaching", ct_tk=1, max_epochs=3,
+                      spl_rewire_rate=0.02, batch_size=64)
+    res = PipelineTES(cfg).loop()
+    assert np.isfinite(res[0])
+
+
+def test_pipeline_ctp(tmp_path):
+    cfg = tiny_config(tmp_path, module="sagePL", algo_type="ctp",
+                      train_type="nalgo", max_epochs=2, batch_size=64)
+    res = PipelineCTP(cfg).loop()
+    assert np.isfinite(res[0])
+
+
+def test_pipeline_h(tmp_path):
+    cfg = tiny_config(tmp_path, module="sageH", algo_type="hpseudo",
+                      train_type="nalgo", max_epochs=2, batch_size=64,
+                      spl_rewire_rate=0.02)
+    res = PipelineH(cfg).loop()
+    assert np.isfinite(res[0])
+
+
+def test_pipeline_ct(tmp_path):
+    cfg = tiny_config(tmp_path, module="sageFC", algo_type="contrastive",
+                      max_epochs=3, warmup=2, batch_size=128,
+                      prob_s=0.05, prob_l=0.1)
+    res = PipelineCT(cfg).loop()
+    assert np.isfinite(res["valid"])
+
+
+def test_pipeline_analysis(tmp_path):
+    cfg = tiny_config(tmp_path, algo_type="analysis", train_type="nalgo",
+                      max_epochs=2, batch_size=64)
+    res = PipelineA(cfg).loop()
+    assert res["confusion"].sum() > 0
+
+
+def test_pipeline_grid(tmp_path):
+    cfg = tiny_config(tmp_path, module="sagePL", algo_type="grid",
+                      train_type="nalgo", max_epochs=2, batch_size=64,
+                      grid_beta=[1.0], grid_tau=[0.2, 0.4], ct_tk=1)
+    res = PipelineSG(cfg).loop()
+    assert len(res) == 2
+    assert res[0]["acc"] >= res[1]["acc"]
