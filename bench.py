@@ -1,0 +1,113 @@
+"""Benchmark: SAGE mean-aggregation SpMM throughput (edges/s/chip).
+
+Prints ONE JSON line:
+  {"metric": "spmm_edges_per_s_per_chip", "value": N, "unit": "edges/s",
+   "vs_baseline": R}
+
+``vs_baseline`` is the fraction of HBM-bandwidth speed-of-light for the op
+(the reference publishes no numbers — BASELINE.md — so speed-of-light is the
+honest anchor): mean aggregation must read one feature row per edge, so
+SOL = HBM_BW / (F * bytes_per_elem).
+
+Measures the hybrid Pallas kernel (ops/pallas_spmm.py: XLA gather +
+MXU one-hot segment reduction) and the pure-XLA path, reporting the faster.
+Data is generated on device (host->device over the dev tunnel is slow).
+Timing forces a scalar fetch per iteration — plain block_until_ready is
+unreliable through the tunnel. Secondary diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def fetch_time(fn, iters):
+    float(fn())  # ensure compiled
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn())  # scalar host fetch forces real execution
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--nodes", type=int, default=1_000_000)
+    ap.add_argument("--edges", type=int, default=32_000_000)
+    ap.add_argument("--feat", type=int, default=256)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--with-xla", action="store_true",
+                    help="also time the pure-XLA path (slow compile)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        args.nodes, args.edges = min(args.nodes, 50_000), min(args.edges, 1_000_000)
+    import jax.numpy as jnp
+
+    from noise_gnn_tpu.ops.pallas_spmm import PallasSpmm
+    from noise_gnn_tpu.ops.scatter import gather_scatter_mean
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}, platform: {dev.platform}")
+
+    n, e, f = args.nodes, args.edges, args.feat
+    dtype = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst_counts = np.bincount(rng.integers(0, n, e), minlength=n)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(dst_counts, out=indptr[1:])
+
+    x = jax.random.normal(jax.random.key(0), (n, f), dtype)
+
+    t0 = time.perf_counter()
+    op = PallasSpmm(indptr, src, n)
+    log(f"pack+put: {time.perf_counter() - t0:.1f}s, groups={len(op._groups)}")
+
+    t_pallas = fetch_time(lambda: op(x).sum(), args.iters)
+    rate_pallas = e / t_pallas
+    log(f"pallas hybrid: {t_pallas * 1e3:.1f} ms -> {rate_pallas / 1e6:.1f} M edges/s")
+
+    rate_xla = 0.0
+    if args.with_xla:
+        dst_sorted = jnp.asarray(
+            np.repeat(np.arange(n, dtype=np.int32), dst_counts)
+        )
+        src_dev = jnp.asarray(src)
+        ei = jnp.stack([src_dev, dst_sorted])
+        xla_fn = jax.jit(lambda: gather_scatter_mean(x, ei, n).sum())
+        t_xla = fetch_time(xla_fn, max(args.iters // 2, 2))
+        rate_xla = e / t_xla
+        log(f"xla path: {t_xla * 1e3:.1f} ms -> {rate_xla / 1e6:.1f} M edges/s")
+
+    best = max(rate_pallas, rate_xla)
+    hbm_bw = {"tpu": 819e9, "axon": 819e9}.get(dev.platform, 50e9)  # v5e
+    sol = hbm_bw / (f * dtype.itemsize)
+    log(f"speed-of-light at {hbm_bw / 1e9:.0f} GB/s: {sol / 1e6:.0f} M edges/s; "
+        f"achieved {100 * best / sol:.1f}%")
+
+    print(json.dumps({
+        "metric": "spmm_edges_per_s_per_chip",
+        "value": best,
+        "unit": "edges/s",
+        "vs_baseline": best / sol,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Pallas SpMM kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from noise_gnn_tpu.graph.containers import CSRGraph
+from noise_gnn_tpu.ops.pallas_spmm import (
+    EDGE_CHUNK,
+    ROW_BLOCK,
+    PallasSpmm,
+    blocked_edges_from_csr,
+    csr_spmm,
+)
+from noise_gnn_tpu.ops.scatter import gather_scatter_mean, gather_scatter_sum
+
+
+def make_graph(n, e, seed=0):
+    rng = np.random.default_rng(seed)
+    ei = rng.integers(0, n, (2, e)).astype(np.int32)
+    return ei, CSRGraph.from_coo(ei, n)
+
+
+def test_blocked_edges_layout():
+    ei, csr = make_graph(600, 5000)
+    indptr = np.asarray(csr.indptr, np.int64)
+    src_blk, dst_blk, block_off = blocked_edges_from_csr(indptr, np.asarray(csr.indices))
+    # bases aligned, counts correct, real slots hold real edges
+    assert (block_off[:, 0] % EDGE_CHUNK == 0).all()
+    assert block_off[:, 1].sum() == 5000
+    for b in range(block_off.shape[0]):
+        base, cnt = block_off[b]
+        assert (dst_blk[base : base + cnt] >= b * ROW_BLOCK).all()
+        assert (dst_blk[base : base + cnt] < (b + 1) * ROW_BLOCK).all()
+    # padding slots masked
+    pad_mask = np.ones(len(dst_blk), bool)
+    for b in range(block_off.shape[0]):
+        base, cnt = block_off[b]
+        pad_mask[base : base + cnt] = False
+    assert (dst_blk[pad_mask] == -1).all()
+
+
+@pytest.mark.parametrize("mean", [True, False])
+def test_kernel_matches_xla(mean):
+    ei, csr = make_graph(700, 6000, seed=1)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((700, 128)), jnp.float32)
+    out = csr_spmm(x, np.asarray(csr.indptr), np.asarray(csr.indices), 700,
+                   mean=mean, interpret=True)
+    if mean:
+        want = gather_scatter_mean(x, jnp.asarray(ei), 700)
+    else:
+        want = gather_scatter_sum(x, jnp.asarray(ei), 700)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_multi_group_split():
+    ei, csr = make_graph(3000, 40000, seed=3)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((3000, 128)), jnp.float32)
+    op = PallasSpmm(np.asarray(csr.indptr), np.asarray(csr.indices), 3000,
+                    edge_budget=8192)
+    assert len(op._groups) > 1
+    out = op(x, interpret=True)
+    want = gather_scatter_mean(x, jnp.asarray(ei), 3000)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_isolated_nodes_and_empty_blocks():
+    # only a handful of edges at the start; later row blocks are empty
+    n = 1500
+    ei = np.asarray([[0, 1, 2], [3, 3, 4]], np.int32)
+    csr = CSRGraph.from_coo(ei, n)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((n, 128)), jnp.float32)
+    out = csr_spmm(x, np.asarray(csr.indptr), np.asarray(csr.indices), n,
+                   interpret=True)
+    want = gather_scatter_mean(x, jnp.asarray(ei), n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4, atol=1e-4)
+    assert np.abs(np.asarray(out[5:])).max() == 0.0
