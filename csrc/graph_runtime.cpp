@@ -1,0 +1,159 @@
+// Native host-side graph runtime for noise-gnn-tpu.
+//
+// The reference delegates its host graph work to pyg-lib / torch-sparse
+// C++ extensions (COO->CSR conversion, the NeighborLoader fanout sampler —
+// reference docs/requirements.txt, src/pipeline.py:75). This library is the
+// TPU build's equivalent: it prepares device-ready layouts (dst-major CSR,
+// block-aligned edge packing for the Pallas SpMM kernel) and provides a
+// host fanout sampler used as a CPU fallback and as a parity oracle for the
+// on-device sampler.
+//
+// Exposed via a plain C ABI consumed from Python with ctypes
+// (noise_gnn_tpu/native/__init__.py). Build: see csrc/build.sh.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int hardware_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n == 0 ? 2 : static_cast<int>(n);
+}
+
+template <typename F>
+void parallel_for(int64_t n, F&& fn) {
+  int nt = std::min<int64_t>(hardware_threads(), std::max<int64_t>(n / 65536, 1));
+  if (nt <= 1) {
+    fn(0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * per, hi = std::min<int64_t>(lo + per, n);
+    if (lo >= hi) break;
+    ts.emplace_back([=, &fn] { fn(lo, hi); });
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// COO -> dst-major CSR via counting sort (stable in src order within a row).
+// indptr: [n+1] int64 out; indices: [e] int32 out (source node per slot).
+void ngt_coo_to_csr(const int32_t* src, const int32_t* dst, int64_t e,
+                    int32_t n, int64_t* indptr, int32_t* indices) {
+  std::vector<std::atomic<int64_t>> counts(n);
+  for (auto& c : counts) c.store(0, std::memory_order_relaxed);
+  parallel_for(e, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      counts[dst[i]].fetch_add(1, std::memory_order_relaxed);
+  });
+  indptr[0] = 0;
+  for (int32_t i = 0; i < n; ++i)
+    indptr[i + 1] = indptr[i] + counts[i].load(std::memory_order_relaxed);
+  std::vector<int64_t> cursor(indptr, indptr + n);
+  for (int64_t i = 0; i < e; ++i) indices[cursor[dst[i]]++] = src[i];
+}
+
+// Size of the block-aligned edge buffer for (row_block, chunk).
+int64_t ngt_blocked_size(const int64_t* indptr, int32_t n, int32_t row_block,
+                         int32_t chunk) {
+  int64_t nblocks = (n + row_block - 1) / row_block;
+  if (nblocks == 0) return chunk;
+  int64_t total = 0;
+  for (int64_t b = 0; b < nblocks; ++b) {
+    int64_t lo = indptr[std::min<int64_t>(b * row_block, n)];
+    int64_t hi = indptr[std::min<int64_t>((b + 1) * row_block, n)];
+    int64_t cnt = hi - lo;
+    total += (cnt + chunk - 1) / chunk * chunk;
+  }
+  return std::max<int64_t>(total, chunk);
+}
+
+// Re-pack dst-major CSR into block-aligned storage for the Pallas SpMM
+// kernel (ops/pallas_spmm.py): each row_block's edges start at a
+// chunk-aligned offset; padding slots are src=0 / dst=-1.
+// src_blk/dst_blk: [ngt_blocked_size] out; bases/counts: [nblocks] int64 out.
+void ngt_pack_blocked(const int64_t* indptr, const int32_t* indices, int32_t n,
+                      int32_t row_block, int32_t chunk, int32_t* src_blk,
+                      int32_t* dst_blk, int64_t* bases, int64_t* counts) {
+  int64_t nblocks = (n + row_block - 1) / row_block;
+  int64_t total = ngt_blocked_size(indptr, n, row_block, chunk);
+  std::memset(src_blk, 0, total * sizeof(int32_t));
+  std::fill(dst_blk, dst_blk + total, -1);
+  int64_t base = 0;
+  for (int64_t b = 0; b < nblocks; ++b) {
+    int64_t row_lo = std::min<int64_t>(b * row_block, n);
+    int64_t row_hi = std::min<int64_t>((b + 1) * row_block, n);
+    int64_t lo = indptr[row_lo], hi = indptr[row_hi];
+    bases[b] = base;
+    counts[b] = hi - lo;
+    base += (counts[b] + chunk - 1) / chunk * chunk;
+  }
+  parallel_for(nblocks, [&](int64_t blo, int64_t bhi) {
+    for (int64_t b = blo; b < bhi; ++b) {
+      int64_t row_lo = std::min<int64_t>(b * row_block, n);
+      int64_t row_hi = std::min<int64_t>((b + 1) * row_block, n);
+      int64_t slot = bases[b];
+      for (int64_t r = row_lo; r < row_hi; ++r) {
+        for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k, ++slot) {
+          src_blk[slot] = indices[k];
+          dst_blk[slot] = static_cast<int32_t>(r);
+        }
+      }
+    }
+  });
+}
+
+// Host fanout sampling of one hop: for each frontier node, `fanout` slots.
+// deg <= fanout: offsets 0..deg-1 (exact, no replacement), rest masked;
+// deg  > fanout: fanout i.i.d. uniform picks — same policy as the on-device
+// sampler (ops/sampler.py) so host and device agree statistically.
+// children/mask: [n_frontier * fanout] out.
+void ngt_sample_hop(const int64_t* indptr, const int32_t* indices,
+                    const int32_t* frontier, const uint8_t* frontier_mask,
+                    int64_t n_frontier, int32_t fanout, uint64_t seed,
+                    int32_t* children, uint8_t* mask) {
+  parallel_for(n_frontier, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      std::mt19937_64 rng(seed * 0x9e3779b97f4a7c15ULL + i);
+      int32_t node = frontier[i];
+      int64_t s = indptr[node], deg = indptr[node + 1] - s;
+      bool valid = frontier_mask == nullptr || frontier_mask[i];
+      for (int32_t j = 0; j < fanout; ++j) {
+        int64_t off;
+        bool ok = valid && deg > 0;
+        if (deg <= fanout) {
+          off = j;
+          ok = ok && j < deg;
+        } else {
+          off = static_cast<int64_t>(rng() % static_cast<uint64_t>(deg));
+        }
+        children[i * fanout + j] = ok ? indices[s + off] : 0;
+        mask[i * fanout + j] = ok ? 1 : 0;
+      }
+    }
+  });
+}
+
+// FNV-1a checksum over an int32 buffer (fast integrity probe for packed
+// layouts shipped across processes).
+uint64_t ngt_hash_i32(const int32_t* data, int64_t n) {
+  uint64_t h = 1469598103934665603ULL;
+  for (int64_t i = 0; i < n; ++i) {
+    h ^= static_cast<uint32_t>(data[i]);
+    h *= 1099511628211ULL;
+  }
+  return h;
+}
+
+}  // extern "C"

@@ -111,16 +111,13 @@ class CSRGraph:
 
     @classmethod
     def from_coo(cls, edge_index: np.ndarray, num_nodes: int) -> "CSRGraph":
+        from .. import native
+
         src, dst = np.asarray(edge_index[0]), np.asarray(edge_index[1])
-        order = np.argsort(dst, kind="stable")
-        sorted_dst = dst[order]
-        sorted_src = src[order]
-        counts = np.bincount(sorted_dst, minlength=num_nodes)
-        indptr = np.zeros(num_nodes + 1, dtype=np.int32)
-        np.cumsum(counts, out=indptr[1:])
+        indptr, indices = native.coo_to_csr(src, dst, int(num_nodes))
         return cls(
             indptr=jnp.asarray(indptr, dtype=jnp.int32),
-            indices=jnp.asarray(sorted_src, dtype=jnp.int32),
+            indices=jnp.asarray(indices, dtype=jnp.int32),
             num_nodes=int(num_nodes),
         )
 

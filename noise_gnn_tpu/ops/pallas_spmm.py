@@ -226,10 +226,18 @@ class PallasSpmm:
 
     def __init__(self, indptr, indices, num_nodes: int,
                  edge_budget: int = 4 << 20):
+        from .. import native
+
         indptr = np.asarray(indptr, np.int64)
         indices = np.asarray(indices, np.int32)
         self.num_nodes = int(num_nodes)
-        src_blk, dst_blk, block_off = blocked_edges_from_csr(indptr, indices)
+        packed = native.pack_blocked(indptr, indices, self.num_nodes,
+                                     ROW_BLOCK, EDGE_CHUNK)
+        if packed is not None:
+            src_blk, dst_blk, p_bases, p_counts = packed
+            block_off = np.stack([p_bases, p_counts], axis=1).astype(np.int64)
+        else:
+            src_blk, dst_blk, block_off = blocked_edges_from_csr(indptr, indices)
         nblocks = block_off.shape[0]
         deg = (indptr[1:] - indptr[:-1]).astype(np.float32)
         deg = np.pad(deg, (0, nblocks * ROW_BLOCK - self.num_nodes))[:, None]
