@@ -19,6 +19,9 @@ Differences by design (TPU-first):
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 
 import jax
@@ -30,9 +33,10 @@ from ..graph.datasets import load_network
 from ..losses.schedules import forget_rate_schedule
 from ..models import nets
 from ..noise import flip_label, noise_or_not
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import run_name, validate_config
 from ..utils.logging import MetricsWriter, initialize_logger
+from ..utils.profiling import tree_edges_per_batch
 from . import steps as S
 
 OGB_DATASETS = ("ogbn-arxiv", "ogbn-products")
@@ -178,22 +182,40 @@ class PipelineCO(BasePipeline):
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
+        edges_per_batch = tree_edges_per_batch(bs, self.fanouts)
+        ckpt_every = int(c.get("ckpt_every", 0))
+        ckpt_path = f"{c['out_dir']}/models/{self.output_name}_ct_ckpt"
         best_accs = []
-        for run in range(int(c["num_runs"])):
+        start_run, start_epoch = 0, 0
+        s1 = s2 = None
+        if c.get("resume") and os.path.exists(ckpt_path + ".npz"):
+            # resume: params + opt states + PRNG key + epoch/run position
+            tmpl_s = S.init_state(jax.random.key(0), spec, self.optimizer)
+            tmpl = (tmpl_s, tmpl_s, self.key)
+            (s1, s2, self.key), meta = load_checkpoint(ckpt_path, tmpl)
+            start_run, start_epoch = int(meta["run"]), int(meta["epoch"]) + 1
+            self.logger.info(
+                f"   Resumed from {ckpt_path} at run {start_run} epoch {start_epoch}"
+            )
+        for run in range(start_run, int(c["num_runs"])):
             if self.reflip_per_run and run > 0:
                 self._flip_labels()
-            s1 = S.init_state(self.next_key(), spec, self.optimizer)
-            s2 = S.init_state(self.next_key(), spec, self.optimizer)
+            if s1 is None:
+                s1 = S.init_state(self.next_key(), spec, self.optimizer)
+                s2 = S.init_state(self.next_key(), spec, self.optimizer)
             best1 = best2 = 0.0
-            for epoch in range(int(c["max_epochs"])):
+            for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 agg = {}
                 nb = 0
+                t_train = time.perf_counter()
                 for batch in self.epoch_batches(train_idx, bs):
                     s1, s2, m = step(s1, s2, self.data, batch, self.next_key(), fr)
                     nb += 1
                     for k, v in m.items():
                         agg[k] = agg.get(k, 0.0) + float(v)
+                # the float() fetches above synchronize each step
+                t_train = time.perf_counter() - t_train
                 acc1 = evaluate(s1.params)
                 acc2 = evaluate(s2.params)
                 best1, best2 = max(best1, acc1["test"]), max(best2, acc2["test"])
@@ -204,7 +226,12 @@ class PipelineCO(BasePipeline):
                     event="epoch_ct", run=run, epoch=epoch, **rec,
                     val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
                     test_acc_1=acc1["test"], test_acc_2=acc2["test"],
+                    epoch_train_s=t_train,
+                    edges_per_s=nb * edges_per_batch / max(t_train, 1e-9),
                 )
+                if ckpt_every and (epoch + 1) % ckpt_every == 0:
+                    save_checkpoint(ckpt_path, (s1, s2, self.key),
+                                    {"run": run, "epoch": epoch})
                 if c["epoch_logger"] and not ((epoch + 1) % 10):
                     self.logger.info(
                         f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
@@ -216,6 +243,8 @@ class PipelineCO(BasePipeline):
                 f"   RUN {run + 1} - best nalgo test acc1: {best1:.3f}   acc2: {best2:.3f}"
             )
             best_accs.append(max(best1, best2))
+            s1 = s2 = None
+            start_epoch = 0
         return self._report_runs("nalgo", best_accs)
 
     def _loop_baseline(self):

@@ -1,0 +1,97 @@
+"""Acceptance: the noise-robust machinery behaves as designed under label
+noise, in the reference's own validation style (SURVEY §4): the ground-truth
+noise oracle measures small-loss selection precision ("pure ratio" curves,
+reference src/pipeline.py:273-275), with an A/B against the plain-CE
+baseline on the same data + noise.
+
+Setup mirrors the reference's small-graph regime: 20 labels/class train
+split (reference load_utils.py:118-121), full-batch steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from noise_gnn_tpu.graph.datasets import synthetic_graph
+from noise_gnn_tpu.models import nets
+from noise_gnn_tpu.noise import flip_label, noise_or_not
+from noise_gnn_tpu.train import steps as S
+
+C = 40
+
+
+@pytest.fixture(scope="module")
+def noisy_world():
+    g = synthetic_graph(4000, 64, C, 32000, homophily=0.85, seed=0,
+                        feature_noise=1.5)
+    yhn, mat = flip_label(g.y, C, "sym", 0.45, np.random.default_rng(0))
+    clean = noise_or_not(g.y, yhn)
+    data = S.GraphData(
+        x=jnp.asarray(g.x),
+        y=jnp.asarray(g.y),
+        yhn=jnp.asarray(yhn),
+        clean=jnp.asarray(clean),
+        csr=g.csr(),
+    )
+    train_idx = np.concatenate([np.nonzero(g.y == c)[0][:20] for c in range(C)])
+    return g, data, mat, clean, train_idx
+
+
+def _train(g, data, mat, train_idx, mode, epochs=100):
+    spec = nets.NetSpec(module="sage", in_size=g.num_features, hidden_size=64,
+                        out_size=C, num_layers=2, dropout=0.5)
+    opt = optax.adam(5e-3)
+    ev = S.make_eval_fn(spec)
+    ei = jnp.asarray(g.edge_index)
+    nm = jnp.asarray(mat, jnp.float32)
+    b = S.Batch(jnp.asarray(train_idx.astype(np.int32)),
+                jnp.ones(train_idx.shape[0], bool))
+    pures = []
+    if mode == "coteaching":
+        step = S.make_ct_step(spec, opt, (8, 4))
+        s1 = S.init_state(jax.random.key(1), spec, opt)
+        s2 = S.init_state(jax.random.key(2), spec, opt)
+        for ep in range(epochs):
+            fr = jnp.float32(min(ep / 15, 1.0) * 0.45)
+            s1, s2, m = step(s1, s2, data, b, jax.random.key(100 + ep), fr)
+            pures.append(float(m["pure_ratio_1"]))
+        params = s1.params
+    else:
+        step = S.make_baseline_step(spec, opt, (8, 4), compare_loss=mode)
+        s = S.init_state(jax.random.key(1), spec, opt)
+        for ep in range(epochs):
+            s, _ = step(s, data, b, jax.random.key(100 + ep), nm)
+        params = s.params
+    logits = ev(params, data.x, ei)
+    acc = float((jnp.argmax(logits, -1) == data.y).mean())
+    return acc, pures
+
+
+def test_small_loss_selection_finds_clean_labels(noisy_world):
+    """THE core mechanism: selection precision well above the clean fraction
+    (chance level) once the forget-rate ramp completes."""
+    g, data, mat, clean, tr = noisy_world
+    acc_ct, pures = _train(g, data, mat, tr, "coteaching")
+    clean_frac = float(clean[tr].mean())  # ~0.55 at 45% sym noise
+    tail = float(np.mean(pures[-10:]))
+    assert tail > clean_frac + 0.20, f"pure={tail:.3f} clean_frac={clean_frac:.3f}"
+    assert acc_ct > 0.70, acc_ct  # learns well despite 45% label noise
+
+
+def test_coteaching_noninferior_to_plain_ce(noisy_world):
+    """Short-horizon A/B: co-teaching trains on ~half the samples yet stays
+    competitive with plain CE (its advantage grows in the long memorization
+    regime; non-inferiority is the stable short-run property)."""
+    g, data, mat, clean, tr = noisy_world
+    acc_ct, _ = _train(g, data, mat, tr, "coteaching")
+    acc_ce, _ = _train(g, data, mat, tr, "normal")
+    assert acc_ct > acc_ce - 0.08, f"ct={acc_ct:.3f} ce={acc_ce:.3f}"
+
+
+def test_backward_correction_noninferior_to_plain_ce(noisy_world):
+    g, data, mat, clean, tr = noisy_world
+    acc_bc, _ = _train(g, data, mat, tr, "back")
+    acc_ce, _ = _train(g, data, mat, tr, "normal")
+    assert acc_bc > acc_ce - 0.05, f"back={acc_bc:.3f} ce={acc_ce:.3f}"
