@@ -60,6 +60,10 @@ class NetSpec:
     use_bn: bool = False
     nbr_nodes: int = 1  # for sagePL's per-node noise parameter
     proj_size: int = 128  # sageFC projection head width
+    # mixed precision: cast activations to this dtype for the conv stack
+    # (params stay f32; layers cast weights to the activation dtype; outputs
+    # are returned in f32 for numerically-safe losses)
+    compute_dtype: str = "float32"
 
     def layer_sizes(self) -> list[tuple[int, int]]:
         sizes = []
@@ -81,6 +85,7 @@ def make_network(config: dict, in_size: int, out_size: int, nbr_nodes: int = 1) 
         dropout=float(config.get("dropout", 0.5)),
         use_bn=bool(config.get("use_bn", False)),
         nbr_nodes=nbr_nodes,
+        compute_dtype=str(config.get("compute_dtype", "float32")),
     )
 
 
@@ -112,6 +117,16 @@ def init_params(key: Array, spec: NetSpec) -> dict:
 
 
 # ------------------------------------------------------------------ helpers
+
+
+def _maybe_cast(spec: NetSpec, x: Array) -> Array:
+    if spec.compute_dtype != "float32":
+        return x.astype(jnp.dtype(spec.compute_dtype))
+    return x
+
+
+def _f32(out: dict) -> dict:
+    return {k: v.astype(jnp.float32) for k, v in out.items()}
 
 
 def _l2_normalize_rows(v: Array, eps: float = 1e-12) -> Array:
@@ -188,9 +203,12 @@ def apply(
     gat:             {"logits"}
     """
     n = num_nodes if num_nodes is not None else x.shape[0]
+    x = _maybe_cast(spec, x)
 
     if spec.module == "gat":
-        return {"logits": _gat_forward(spec, params, x, edge_index, n, edge_mask)}
+        return _f32(
+            {"logits": _gat_forward(spec, params, x, edge_index, n, edge_mask)}
+        )
 
     if spec.module == "gcn_head":
         # pre-dropout then single conv (reference gcn.py:19-23)
@@ -198,7 +216,7 @@ def apply(
             key, sub = jax.random.split(key)
             x = dropout(sub, x, spec.dropout, train)
         logits = sage_conv(params["convs"][0], x, edge_index, n, edge_mask)
-        return {"logits": logits}
+        return _f32({"logits": logits})
 
     if spec.module == "sagePL":
         k1 = k2 = None
@@ -213,22 +231,24 @@ def apply(
         z_noisy, h_noisy = _stack_forward(
             spec, params, x_noisy, edge_index, n, edge_mask, train, k2
         )
-        return {
+        z_pure = z_pure.astype(jnp.float32)
+        z_noisy = z_noisy.astype(jnp.float32)
+        return _f32({
             "h_pure": h_pure,
             "y_pure": jax.nn.log_softmax(z_pure, axis=-1),
             "z_pure": z_pure,
             "h_noisy": h_noisy,
             "y_noisy": jax.nn.log_softmax(z_noisy, axis=-1),
             "z_noisy": z_noisy,
-        }
+        })
 
     logits, h = _stack_forward(spec, params, x, edge_index, n, edge_mask, train, key)
     if spec.module == "sageH":
-        return {"logits": logits, "h": h}
+        return _f32({"logits": logits, "h": h})
     if spec.module == "sageFC":
-        proj = batch_norm(params["bnl"], linear(params["proj"], h))
-        return {"logits": logits, "h": proj}
-    return {"logits": logits}
+        proj = batch_norm(params["bnl"], linear(params["proj"], h.astype(jnp.float32)))
+        return _f32({"logits": logits, "h": proj})
+    return _f32({"logits": logits})
 
 
 # ------------------------------------------------------------ tree forward
@@ -287,6 +307,7 @@ def apply_tree(
     noise_rate: float = 0.1,
 ) -> dict:
     """Tree forward; same output contract as :func:`apply` but rows = seeds."""
+    xs = [_maybe_cast(spec, x) for x in xs]
     if spec.module == "sagePL":
         k1 = k2 = None
         if key is not None:
@@ -300,14 +321,16 @@ def apply_tree(
         z_noisy, h_noisy = _stack_forward_tree(
             spec, params, xs_noisy, masks, fanouts, train, k2
         )
-        return {
+        z_pure = z_pure.astype(jnp.float32)
+        z_noisy = z_noisy.astype(jnp.float32)
+        return _f32({
             "h_pure": h_pure,
             "y_pure": jax.nn.log_softmax(z_pure, axis=-1),
             "z_pure": z_pure,
             "h_noisy": h_noisy,
             "y_noisy": jax.nn.log_softmax(z_noisy, axis=-1),
             "z_noisy": z_noisy,
-        }
+        })
 
     if spec.module == "gcn_head":
         if train and key is not None:
@@ -316,15 +339,15 @@ def apply_tree(
         n0 = xs[0].shape[0]
         x_neigh = xs[1].reshape(n0, fanouts[0], xs[1].shape[-1])
         m = masks[1].reshape(n0, fanouts[0])
-        return {"logits": sage_conv_tree(params["convs"][0], xs[0], x_neigh, m)}
+        return _f32({"logits": sage_conv_tree(params["convs"][0], xs[0], x_neigh, m)})
 
     logits, h = _stack_forward_tree(spec, params, xs, masks, fanouts, train, key)
     if spec.module == "sageH":
-        return {"logits": logits, "h": h}
+        return _f32({"logits": logits, "h": h})
     if spec.module == "sageFC":
-        proj = batch_norm(params["bnl"], linear(params["proj"], h))
-        return {"logits": logits, "h": proj}
-    return {"logits": logits}
+        proj = batch_norm(params["bnl"], linear(params["proj"], h.astype(jnp.float32)))
+        return _f32({"logits": logits, "h": proj})
+    return _f32({"logits": logits})
 
 
 # ------------------------------------------------------------------- GAT

@@ -147,6 +147,18 @@ class BasePipeline:
             nbr_nodes=c["nbr_nodes"],
         )
 
+    @staticmethod
+    def _acc_metrics(agg, m):
+        """Accumulate step metrics ON DEVICE (a host float() per step costs a
+        device round-trip — ~1 s/step through the dev tunnel)."""
+        if agg is None:
+            return dict(m)
+        return {k: agg[k] + m[k] for k in m}
+
+    @staticmethod
+    def _fetch_metrics(agg, nb):
+        return {k: float(v) / nb for k, v in agg.items()} if agg else {}
+
     def _report_runs(self, label: str, best_accs: list[float]):
         mean, std = float(np.mean(best_accs)), float(np.std(best_accs, ddof=1) if len(best_accs) > 1 else 0.0)
         self.logger.info(f"   RUN {label} mean {mean:.3f} +- {std:.3f} std")
@@ -206,22 +218,20 @@ class PipelineCO(BasePipeline):
             best1 = best2 = 0.0
             for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
-                agg = {}
-                nb = 0
+                agg, nb = None, 0
                 t_train = time.perf_counter()
                 for batch in self.epoch_batches(train_idx, bs):
                     s1, s2, m = step(s1, s2, self.data, batch, self.next_key(), fr)
                     nb += 1
-                    for k, v in m.items():
-                        agg[k] = agg.get(k, 0.0) + float(v)
-                # the float() fetches above synchronize each step
+                    agg = self._acc_metrics(agg, m)
+                rec_raw = self._fetch_metrics(agg, nb)  # single device sync
                 t_train = time.perf_counter() - t_train
                 acc1 = evaluate(s1.params)
                 acc2 = evaluate(s2.params)
                 best1, best2 = max(best1, acc1["test"]), max(best2, acc2["test"])
-                rec = {k: v / nb for k, v in agg.items()}
-                rec["train_acc_1"] = agg["correct_1"] / train_idx.shape[0]
-                rec["train_acc_2"] = agg["correct_2"] / train_idx.shape[0]
+                rec = dict(rec_raw)
+                rec["train_acc_1"] = rec_raw["correct_1"] * nb / train_idx.shape[0]
+                rec["train_acc_2"] = rec_raw["correct_2"] * nb / train_idx.shape[0]
                 self.metrics.write(
                     event="epoch_ct", run=run, epoch=epoch, **rec,
                     val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
@@ -262,19 +272,18 @@ class PipelineCO(BasePipeline):
             s = S.init_state(self.next_key(), spec, self.optimizer)
             best = 0.0
             for epoch in range(int(c["max_epochs"])):
-                agg = {"loss": 0.0, "correct": 0.0}
-                nb = 0
+                agg, nb = None, 0
                 for batch in self.epoch_batches(train_idx, bs):
                     s, m = step(s, self.data, batch, self.next_key(), noise_mat)
                     nb += 1
-                    for k in agg:
-                        agg[k] += float(m[k])
+                    agg = self._acc_metrics(agg, m)
+                rec_raw = self._fetch_metrics(agg, nb)
                 acc = evaluate(s.params)
                 best = max(best, acc["test"])
                 self.metrics.write(
                     event="epoch_baseline", run=run, epoch=epoch,
-                    loss=agg["loss"] / nb,
-                    train_acc=agg["correct"] / train_idx.shape[0],
+                    loss=rec_raw["loss"],
+                    train_acc=rec_raw["correct"] * nb / train_idx.shape[0],
                     val_acc=acc["valid"], test_acc=acc["test"],
                 )
                 if c["epoch_logger"] and not ((epoch + 1) % 10):
@@ -330,18 +339,17 @@ class PipelineTE(BasePipeline):
             for epoch in range(int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 step = step_cont if epoch > int(c["ct_tk"]) else step_plain
-                agg, nb = {}, 0
+                agg, nb = None, 0
                 for batch in self.epoch_batches(train_idx, bs):
                     s, m = step(s, self.data, batch, self.next_key(), fr)
                     nb += 1
-                    for k, v in m.items():
-                        agg[k] = agg.get(k, 0.0) + float(v)
+                    agg = self._acc_metrics(agg, m)
                 acc1 = evaluate(s.params[0])
                 acc2 = evaluate(s.params[1])
                 best = max(best, acc1["test"], acc2["test"])
                 self.metrics.write(
                     event="epoch_te", run=run, epoch=epoch,
-                    **{k: v / nb for k, v in agg.items()},
+                    **self._fetch_metrics(agg, nb),
                     val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
                     test_acc_1=acc1["test"], test_acc_2=acc2["test"],
                 )
@@ -387,18 +395,17 @@ class PipelineCTP(BasePipeline):
             for epoch in range(int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 step = step1 if epoch > 0 else step0
-                agg, nb = {}, 0
+                agg, nb = None, 0
                 for batch in self.epoch_batches(train_idx, bs):
                     s1, s2, m = step(s1, s2, self.data, batch, self.next_key(), fr)
                     nb += 1
-                    for k, v in m.items():
-                        agg[k] = agg.get(k, 0.0) + float(v)
+                    agg = self._acc_metrics(agg, m)
                 acc1 = evaluate(s1.params)
                 acc2 = evaluate(s2.params)
                 best = max(best, acc1["test"], acc2["test"])
                 self.metrics.write(
                     event="epoch_ctp", run=run, epoch=epoch,
-                    **{k: v / nb for k, v in agg.items()},
+                    **self._fetch_metrics(agg, nb),
                     val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
                     test_acc_1=acc1["test"], test_acc_2=acc2["test"],
                 )
@@ -445,18 +452,17 @@ class PipelineH(BasePipeline):
             for epoch in range(int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 step = step1 if epoch > 0 else step0
-                agg, nb = {}, 0
+                agg, nb = None, 0
                 for batch in self.epoch_batches(train_idx, bs):
                     s, m = step(s, self.data, batch, self.next_key(), fr)
                     nb += 1
-                    for k, v in m.items():
-                        agg[k] = agg.get(k, 0.0) + float(v)
+                    agg = self._acc_metrics(agg, m)
                 acc1 = evaluate(s.params[0])
                 acc2 = evaluate(s.params[1])
                 best = max(best, acc1["test"], acc2["test"])
                 self.metrics.write(
                     event="epoch_h", run=run, epoch=epoch,
-                    **{k: v / nb for k, v in agg.items()},
+                    **self._fetch_metrics(agg, nb),
                     val_acc_1=acc1["valid"], test_acc_1=acc1["test"],
                     val_acc_2=acc2["valid"], test_acc_2=acc2["test"],
                 )
@@ -555,20 +561,19 @@ class PipelineCT(BasePipeline):
         for epoch in range(warmup, int(c["max_epochs"])):
             batches_c = list(self.epoch_batches(clean_ids, bs2))
             batches_n = list(self.epoch_batches(noisy_ids, bs2))
-            agg, nb = {}, 0
+            agg, nb = None, 0
             for bc, bn in zip(batches_c, batches_n):
                 s, m = ft_step(s, self.data, views, bc, bn, self.next_key())
                 nb += 1
-                for k, v in m.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+                agg = self._acc_metrics(agg, m)
+            rec = self._fetch_metrics(agg, max(nb, 1))
             acc = evaluate(s.params)
-            self.metrics.write(event="finetune", epoch=epoch,
-                               **{k: v / nb for k, v in agg.items()},
+            self.metrics.write(event="finetune", epoch=epoch, **rec,
                                val_acc=acc["valid"], test_acc=acc["test"])
             self.logger.info(
                 f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
-                f"loss semi: {agg.get('loss_semi', 0) / max(nb, 1):.3f} "
-                f"loss cont: {agg.get('loss_cont', 0) / max(nb, 1):.3f} "
+                f"loss semi: {rec.get('loss_semi', 0):.3f} "
+                f"loss cont: {rec.get('loss_cont', 0):.3f} "
                 f"val acc {acc['valid']:.3f}"
             )
         return evaluate(s.params)
