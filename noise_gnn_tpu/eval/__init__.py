@@ -1,5 +1,6 @@
 """Evaluation: full-graph inference and accuracy metrics."""
 
-from .metrics import accuracy, evaluate_splits
+from .inference import FullGraphInference
+from .metrics import accuracy, confusion_matrix, evaluate_splits
 
-__all__ = ["accuracy", "evaluate_splits"]
+__all__ = ["FullGraphInference", "accuracy", "confusion_matrix", "evaluate_splits"]

@@ -13,6 +13,7 @@ no collectives anywhere). This package supplies the TPU-native scaling story:
 """
 
 from .mesh import make_mesh, param_sharding, replicated, batch_sharding
+from .multihost import initialize as distributed_initialize, process_info
 from .dp import make_dp_ct_step, shard_batch
 from .partition import partitioned_spmm_sum, partitioned_spmm_mean, shard_edges
 
@@ -26,4 +27,6 @@ __all__ = [
     "partitioned_spmm_sum",
     "partitioned_spmm_mean",
     "shard_edges",
+    "distributed_initialize",
+    "process_info",
 ]

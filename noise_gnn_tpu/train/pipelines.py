@@ -126,6 +126,19 @@ class BasePipeline:
             yield S.Batch(jnp.asarray(seeds), jnp.asarray(mask))
 
     def make_eval(self, spec):
+        if spec.module in ("sage", "gcn", "sageH", "sageFC", "sagePL"):
+            # stack-only inference; picks the Pallas SpMM backend for
+            # many-edge graphs on TPU (eval/inference.py)
+            from ..eval.inference import FullGraphInference
+
+            infer = FullGraphInference(spec, self.graph.edge_index, self.graph.num_nodes)
+
+            def evaluate(params):
+                logits = infer(params, self.data.x)
+                return evaluate_splits(logits, self.graph.y, self.split_idx)
+
+            return evaluate
+
         eval_fn = S.make_eval_fn(spec)
 
         def evaluate(params):
@@ -145,6 +158,7 @@ class BasePipeline:
             dropout=float(c["dropout"]),
             use_bn=bool(c.get("use_bn", False)),
             nbr_nodes=c["nbr_nodes"],
+            compute_dtype=str(c.get("compute_dtype", "float32")),
         )
 
     @staticmethod
