@@ -177,6 +177,23 @@ def load_network(config: dict) -> Graph:
         s = g.x.sum(axis=1, keepdims=True)
         g = g.replace(x=(g.x / np.maximum(s, 1e-12)).astype(np.float32))
 
+    # split-index caching (reference saves split indices to ../out_index/ and
+    # reloads them with load_index, load_utils.py:83-91; here the cache key
+    # is config-derived instead of hard-coded filenames)
+    cache = os.path.join(
+        data_dir, "index",
+        f"{name}_seed{seed}_scale{int(config.get('synthetic_scale', 1))}.npz",
+    )
+    if config.get("load_index") and os.path.exists(cache):
+        with np.load(cache) as z:
+            n = g.num_nodes
+            g = g.replace(
+                train_mask=index_to_mask(z["train_idx"], n),
+                val_mask=index_to_mask(z["valid_idx"], n),
+                test_mask=index_to_mask(z["test_idx"], n),
+            )
+        return g
+
     has_split = g.train_mask is not None
     if not has_split:
         if prof.split == "per_class_20_30":
@@ -200,4 +217,11 @@ def load_network(config: dict) -> Graph:
 
     if name == "ogbn-products" and not config.get("whole_test_set", True):
         g = ogb_products_splits(g, config, rng)
+
+    if config.get("load_index"):
+        # cache the generated split for reuse (reference always saves)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        idx = g.split_idx()
+        np.savez(cache, train_idx=idx["train"], valid_idx=idx["valid"],
+                 test_idx=idx["test"])
     return g

@@ -100,8 +100,13 @@ class BasePipeline:
         )
         self.graph = g.replace(yhn=yhn)
         self.clean = noise_or_not(g.y, yhn)
+        x_dtype = (
+            jnp.bfloat16
+            if self.config.get("compute_dtype") == "bfloat16"
+            else jnp.float32
+        )
         self.data = S.GraphData(
-            x=jnp.asarray(g.x),
+            x=jnp.asarray(g.x, dtype=x_dtype),
             y=jnp.asarray(g.y),
             yhn=jnp.asarray(yhn),
             clean=jnp.asarray(self.clean),
@@ -111,6 +116,20 @@ class BasePipeline:
     def next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def epoch_seed_matrix(self, idx: np.ndarray, batch_size: int):
+        """All of an epoch's padded seed batches as [nsteps, B] arrays, for
+        the scanning whole-epoch drivers."""
+        idx = self.rng.permutation(idx)
+        n = idx.shape[0]
+        nsteps = max(-(-n // batch_size), 1)
+        pad = nsteps * batch_size - n
+        seeds = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+        mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        return (
+            jnp.asarray(seeds.reshape(nsteps, batch_size)),
+            jnp.asarray(mask.reshape(nsteps, batch_size)),
+        )
 
     def epoch_batches(self, idx: np.ndarray, batch_size: int, shuffle=True):
         """Padded seed batches covering ``idx`` once (replaces NeighborLoader
@@ -189,18 +208,44 @@ class PipelineCO(BasePipeline):
 
     def loop(self):
         c = self.config
+        if not c.get("do_train", True):
+            return self._load_and_eval()
         self.logger.info(f"{c['num_runs']} RUNS")
         results = {}
         if c["train_type"] in ("nalgo", "both"):
             results["nalgo"] = self._loop_ct()
         if c["train_type"] in ("baseline", "both"):
             results["baseline"] = self._loop_baseline()
+        if c.get("do_plot"):
+            from ..utils.plotting import plot_metrics_file
+
+            out = plot_metrics_file(self.metrics.path)
+            if out:
+                self.logger.info(f"   plot saved to {out}")
         return results
+
+    def _load_and_eval(self):
+        """do_train: false — load a checkpoint and evaluate (reference
+        src/pipeline_s.py:305-313, with config-derived paths instead of the
+        reference's hard-coded filenames)."""
+        c = self.config
+        spec = self.spec_for()
+        path = c.get("load_model_path") or (
+            f"{c['out_dir']}/models/{self.output_name}_ct_ckpt"
+        )
+        tmpl_s = S.init_state(jax.random.key(0), spec, self.optimizer)
+        (s1, s2, _), meta = load_checkpoint(path, (tmpl_s, tmpl_s, self.key))
+        evaluate = self.make_eval(spec)
+        acc1, acc2 = evaluate(s1.params), evaluate(s2.params)
+        self.logger.info(
+            f"   Load eval v1: {acc1['valid']:.3f} v2: {acc2['valid']:.3f}"
+        )
+        return {"loaded": (acc1, acc2), "meta": meta}
 
     def _loop_ct(self):
         c = self.config
         spec = self.spec_for()
-        step = S.make_ct_step(
+        epoch_fn = S.make_ct_epoch(
             spec, self.optimizer, self.fanouts,
             algo=c["algo_type"] if c["algo_type"] in ("codi",) else "coteaching",
             co_lambda=float(c["co_lambda"]),
@@ -232,12 +277,12 @@ class PipelineCO(BasePipeline):
             best1 = best2 = 0.0
             for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
-                agg, nb = None, 0
                 t_train = time.perf_counter()
-                for batch in self.epoch_batches(train_idx, bs):
-                    s1, s2, m = step(s1, s2, self.data, batch, self.next_key(), fr)
-                    nb += 1
-                    agg = self._acc_metrics(agg, m)
+                seeds, masks = self.epoch_seed_matrix(train_idx, bs)
+                nb = seeds.shape[0]
+                s1, s2, agg = epoch_fn(
+                    s1, s2, self.data, seeds, masks, self.next_key(), fr
+                )
                 rec_raw = self._fetch_metrics(agg, nb)  # single device sync
                 t_train = time.perf_counter() - t_train
                 acc1 = evaluate(s1.params)

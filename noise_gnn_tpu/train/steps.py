@@ -99,6 +99,88 @@ def _acc_count(logits, y_true, mask):
 # ------------------------------------------------------------ co-teaching
 
 
+def make_ct_epoch(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    algo: str = "coteaching",
+    co_lambda: float = 0.1,
+):
+    """Whole-epoch co-teaching driver: lax.scan over the seed batches inside
+    ONE jit. Removes per-step host dispatch entirely (measured ~3 ms/step
+    through the dev tunnel; a products epoch has ~1300 steps).
+
+    seeds/masks: [nsteps, B]; returns summed metrics (host divides by
+    nsteps)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(
+        s1: TrainState,
+        s2: TrainState,
+        data: GraphData,
+        seeds: Array,
+        masks: Array,
+        key: Array,
+        forget_rate: Array,
+    ):
+        def body(carry, inp):
+            s1, s2 = carry
+            b_seeds, b_mask, k = inp
+            kb, k1, k2 = jax.random.split(k, 3)
+            tb = sample_khop_tree(kb, data.csr, b_seeds, fanouts, b_mask)
+            yb = jnp.take(data.yhn, b_seeds)
+            yt = jnp.take(data.y, b_seeds)
+            cb = jnp.take(data.clean, b_seeds)
+
+            def loss_fn(p1, p2):
+                xs = tb.gather_features(data.x)
+                o1 = nets.apply_tree(spec, p1, xs, list(tb.masks), fanouts,
+                                     train=True, key=k1)["logits"]
+                o2 = nets.apply_tree(spec, p2, xs, list(tb.masks), fanouts,
+                                     train=True, key=k2)["logits"]
+                if algo == "codi":
+                    out = codi_loss(o1, o2, yb, forget_rate, cb, co_lambda, b_mask)
+                else:
+                    out = ct_loss(o1, o2, yb, forget_rate, cb, b_mask)
+                return out.loss_1 + out.loss_2, (out, o1, o2)
+
+            (_, (out, o1, o2)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(s1.params, s2.params)
+            u1, os1 = optimizer.update(grads[0], s1.opt_state, s1.params)
+            u2, os2 = optimizer.update(grads[1], s2.opt_state, s2.params)
+            m = jnp.stack(
+                [
+                    out.loss_1,
+                    out.loss_2,
+                    out.pure_ratio_1,
+                    out.pure_ratio_2,
+                    _acc_count(o1, yt, b_mask).astype(jnp.float32),
+                    _acc_count(o2, yt, b_mask).astype(jnp.float32),
+                ]
+            )
+            new = (
+                TrainState(optax.apply_updates(s1.params, u1), os1),
+                TrainState(optax.apply_updates(s2.params, u2), os2),
+            )
+            return new, m
+
+        keys = jax.random.split(key, seeds.shape[0])
+        (s1, s2), ms = jax.lax.scan(body, (s1, s2), (seeds, masks, keys))
+        tot = ms.sum(axis=0)
+        metrics = {
+            "loss_1": tot[0],
+            "loss_2": tot[1],
+            "pure_ratio_1": tot[2],
+            "pure_ratio_2": tot[3],
+            "correct_1": tot[4],
+            "correct_2": tot[5],
+        }
+        return s1, s2, metrics
+
+    return epoch
+
+
 def make_ct_step(
     spec: nets.NetSpec,
     optimizer,

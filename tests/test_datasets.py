@@ -75,3 +75,15 @@ def test_deterministic_by_seed():
     b = load_network({"dataset_name": "cora", "seed": 7, "synthetic_scale": 50})
     np.testing.assert_array_equal(a.x, b.x)
     np.testing.assert_array_equal(a.train_mask, b.train_mask)
+
+
+def test_load_index_caching(tmp_path):
+    cfg = {"dataset_name": "cora", "seed": 5, "synthetic_scale": 50,
+           "data_dir": str(tmp_path), "load_index": True}
+    g1 = load_network(cfg)
+    # cache written
+    import glob
+    assert glob.glob(str(tmp_path / "index" / "*.npz"))
+    g2 = load_network(cfg)
+    np.testing.assert_array_equal(g1.train_mask, g2.train_mask)
+    np.testing.assert_array_equal(g1.test_mask, g2.test_mask)

@@ -105,3 +105,34 @@ def test_graph_to_undirected():
     u = g.to_undirected()
     pairs = set(zip(u.edge_index[0].tolist(), u.edge_index[1].tolist()))
     assert pairs == {(0, 1), (1, 0), (1, 2), (2, 1)}
+
+
+def test_high_degree_sampling_uniformity():
+    """Statistical check: for deg > fanout, each neighbor is picked with
+    ~equal frequency (SURVEY §4 sampler statistical tests)."""
+    n = 4
+    # node 0 has 20 in-neighbors spread over nodes 1..3 cyclically... use a
+    # dedicated star: 30 parallel edges j -> 0 from 3 distinct sources
+    srcs = np.tile(np.asarray([1, 2, 3]), 10).astype(np.int32)
+    ei = np.stack([srcs, np.zeros_like(srcs)])
+    csr = CSRGraph.from_coo(ei, n)
+    counts = np.zeros(4)
+    for t in range(300):
+        tb = sample_khop_tree(jax.random.key(t), csr, jnp.asarray([0]), (4,))
+        kids = np.asarray(tb.n_ids[1])
+        mask = np.asarray(tb.masks[1])
+        for k in kids[mask]:
+            counts[k] += 1
+    # sources 1,2,3 appear 10x each among 30 slots -> equal expected rates
+    freq = counts[1:] / counts[1:].sum()
+    assert np.abs(freq - 1 / 3).max() < 0.05, freq
+
+
+def test_determinism_same_key_same_sample():
+    rng = np.random.default_rng(0)
+    ei = rng.integers(0, 50, (2, 2000)).astype(np.int32)
+    csr = CSRGraph.from_coo(ei, 50)
+    a = sample_khop_tree(jax.random.key(9), csr, jnp.arange(8), (5, 3))
+    b = sample_khop_tree(jax.random.key(9), csr, jnp.arange(8), (5, 3))
+    for x, y in zip(a.n_ids, b.n_ids):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
