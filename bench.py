@@ -54,6 +54,9 @@ def main():
 
     import jax
 
+    from noise_gnn_tpu.utils.memory import configure_malloc
+
+    configure_malloc()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         args.nodes, args.edges = min(args.nodes, 50_000), min(args.edges, 1_000_000)

@@ -61,5 +61,13 @@ if __name__ == "__main__":
     config = load_config(args.config)
     if config.get("device") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    from noise_gnn_tpu.utils.memory import configure_malloc, warm_heap
+
+    configure_malloc()
+    warm_gb = float(config.get("warm_heap_gb", 0))
+    if warm_gb > 0:
+        print(f"warming {warm_gb:g} GB of heap ...")
+        warm_heap(int(warm_gb * (1 << 30)))
     print(f"devices: {jax.devices()}")
     main(config)

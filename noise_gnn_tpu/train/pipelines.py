@@ -52,7 +52,9 @@ class BasePipeline:
         self.config = config
         self.rng = np.random.default_rng(int(config.get("seed", 0)))
 
+        t0 = time.perf_counter()
         self.graph = load_network(config)
+        self._t_load = time.perf_counter() - t0
         g = self.graph
         config["nbr_features"] = g.num_features
         config["nbr_classes"] = g.num_classes
@@ -68,7 +70,12 @@ class BasePipeline:
         self.logger = initialize_logger(config, self.output_name)
         self.metrics = MetricsWriter(config, self.output_name)
 
+        t0 = time.perf_counter()
         self._flip_labels()
+        self.logger.info(
+            f"   setup: load_network {self._t_load:.1f}s, "
+            f"noise+device placement {time.perf_counter() - t0:.1f}s"
+        )
 
         self.fanouts = tuple(int(f) for f in config["nbr_neighbors"])[
             : config["num_layers"]
@@ -87,8 +94,14 @@ class BasePipeline:
         )
 
         self.optimizer = optax.adam(float(config["learning_rate"]))
-        self._full_edge_index = jnp.asarray(g.edge_index)
+        self._full_edge_index_cache = None  # lazy: ~500 MB H2D for products
         self.key = jax.random.key(int(config.get("seed", 0)))
+
+    @property
+    def _full_edge_index(self):
+        if self._full_edge_index_cache is None:
+            self._full_edge_index_cache = jnp.asarray(self.graph.edge_index)
+        return self._full_edge_index_cache
 
     # -------------------------------------------------------------- helpers
 

@@ -28,7 +28,7 @@ from ..augment.features import shuffle_pos
 from ..augment.rewire import topk_rewire
 from ..graph.containers import CSRGraph
 from ..losses.coteaching import backward_correction, codi_loss, cross_entropy, ct_loss
-from ..losses.consistency import fix_cr, get_uncertainty
+from ..losses.consistency import fix_cr, get_uncertainty, neighbor_align
 from ..losses.contrastive import (
     bce_expert_loss,
     bce_expert_loss2,
@@ -405,6 +405,8 @@ def make_ctp_step(
     use_cr: bool = False,
     beta: float = 1.0,
     spl_noise: float = 0.1,
+    use_ncr: bool = False,
+    ncr_temp: float = 0.1,
 ):
     """Co-teaching + FixMatch consistency weighted by neighborhood-entropy
     uncertainty (reference PipelineCTP.train_ct, src/pipeline_ctp.py:85-177;
@@ -442,6 +444,19 @@ def make_ctp_step(
             ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
             loss1, loss2 = ct.loss_1, ct.loss_2
             cr1 = cr2 = jnp.float32(0)
+            if use_ncr:
+                # neighborhood-consistency regularizer (the reference's
+                # commented NCR path, src/pipeline_ctp.py:119-126, with the
+                # intended neighbor_align math)
+                pad1 = jnp.zeros((x_sub.shape[0] - bsz,), bool)
+                nm1 = jnp.concatenate([ct.noisy_1, pad1])
+                nm2 = jnp.concatenate([ct.noisy_2, pad1])
+                nal1 = neighbor_align(edge_index, out1["y_pure"], nm1,
+                                      temp=ncr_temp, edge_mask=edge_mask)
+                nal2 = neighbor_align(edge_index, out2["y_pure"], nm2,
+                                      temp=ncr_temp, edge_mask=edge_mask)
+                loss1 = loss1 + beta * nal1
+                loss2 = loss2 + beta * nal2
             if use_cr:
                 w1 = jax.lax.stop_gradient(
                     get_uncertainty(edge_index, out1["y_pure"], spec.out_size, edge_mask)

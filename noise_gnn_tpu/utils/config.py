@@ -82,6 +82,7 @@ DEFAULTS: dict = {
     "grid_tau": [0.1, 0.2, 0.3],
     # io
     "out_dir": "out",
+    "warm_heap_gb": 0,  # pre-fault heap pages (slow-first-touch hosts)
     # precision: bf16 features/activations on TPU, f32 otherwise
     "param_dtype": "float32",
     "compute_dtype": "float32",

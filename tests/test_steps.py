@@ -161,3 +161,47 @@ def test_eval_fn(tiny):
     params_pl = nets.init_params(jax.random.key(1), spec_pl)
     logits_pl = S.make_eval_fn(spec_pl)(params_pl, data.x, jnp.asarray(g.edge_index))
     assert logits_pl.shape == (g.num_nodes, g.num_classes)
+
+
+def test_ctp_step_ncr(tiny):
+    g, data, _ = tiny
+    spec = spec_for(g, module="sagePL")
+    opt = optax.adam(1e-3)
+    step = S.make_ctp_step(spec, opt, (4, 3), use_ncr=True)
+    s1 = S.init_state(jax.random.key(1), spec, opt)
+    s2 = S.init_state(jax.random.key(2), spec, opt)
+    b = batch_of(g.num_nodes, 16, np.random.default_rng(9))
+    s1, s2, m = step(s1, s2, data, b, jax.random.key(0), jnp.float32(0.2))
+    assert np.isfinite(float(m["loss_1"]))
+
+
+def test_epoch_scan_matches_step_loop(tiny):
+    """make_ct_epoch == iterating make_ct_step with the same keys."""
+    g, data, _ = tiny
+    spec = spec_for(g)
+    opt = optax.adam(5e-3)
+    fan = (4, 3)
+    nsteps, bs = 3, 32
+    rng = np.random.default_rng(11)
+    seeds = rng.choice(g.num_nodes, (nsteps, bs), replace=False).astype(np.int32)
+    masks = np.ones((nsteps, bs), bool)
+    fr = jnp.float32(0.2)
+    key = jax.random.key(5)
+
+    e_fn = S.make_ct_epoch(spec, opt, fan)
+    s1 = S.init_state(jax.random.key(1), spec, opt)
+    s2 = S.init_state(jax.random.key(2), spec, opt)
+    s1e, s2e, me = e_fn(s1, s2, data, jnp.asarray(seeds), jnp.asarray(masks), key, fr)
+
+    step = S.make_ct_step(spec, opt, fan)
+    s1b = S.init_state(jax.random.key(1), spec, opt)
+    s2b = S.init_state(jax.random.key(2), spec, opt)
+    tot = 0.0
+    for i, k in enumerate(jax.random.split(key, nsteps)):
+        b = S.Batch(jnp.asarray(seeds[i]), jnp.asarray(masks[i]))
+        s1b, s2b, m = step(s1b, s2b, data, b, k, fr)
+        tot += float(m["loss_1"])
+    np.testing.assert_allclose(float(me["loss_1"]), tot, rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1e.params),
+                     jax.tree_util.tree_leaves(s1b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=1e-5)
