@@ -42,18 +42,38 @@ class FullGraphInference:
     def __init__(
         self,
         spec: NetSpec,
-        edge_index: np.ndarray,
+        edge_index: np.ndarray | None,
         num_nodes: int,
         backend: str = "auto",
+        csr=None,
+        indptr_np: np.ndarray | None = None,
     ):
+        """Pass EITHER a host ``edge_index`` (it will be staged to the
+        device) OR an already-resident ``csr`` (CSRGraph) + its host
+        ``indptr_np`` — the resident path uploads nothing but a few KB
+        (crucial on slow host->device links)."""
         self.spec = spec
         self.num_nodes = int(num_nodes)
-        n_edges = edge_index.shape[1]
+        n_edges = int(indptr_np[-1]) if csr is not None else edge_index.shape[1]
         if backend == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             backend = "pallas" if (on_tpu and n_edges >= 4_000_000) else "xla"
         self.backend = backend
-        if backend == "pallas":
+        if csr is not None:
+            indptr_np = np.asarray(indptr_np, np.int64)
+            if backend == "pallas":
+                from ..ops.pallas_spmm import PallasSpmmDevice
+
+                self._spmm = PallasSpmmDevice(indptr_np, csr.indices, self.num_nodes)
+                self._edge_index = None
+            else:
+                # derive the COO dst on device from the resident CSR
+                e = n_edges
+                k = jnp.arange(e, dtype=jnp.int64)
+                indptr_dev = jnp.asarray(indptr_np)
+                dst = (jnp.searchsorted(indptr_dev, k, side="right") - 1).astype(jnp.int32)
+                self._edge_index = jnp.stack([csr.indices.astype(jnp.int32), dst])
+        elif backend == "pallas":
             from .. import native
 
             src = np.ascontiguousarray(edge_index[0])

@@ -297,6 +297,100 @@ class PallasSpmm:
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
+def pack_blocked_device(
+    indptr_np: np.ndarray, indices_dev: Array, num_nodes: int
+):
+    """Build the block-aligned edge layout ON DEVICE from an
+    already-resident CSR (avoids re-uploading hundreds of MB through slow
+    host->device links; only the [nblocks] bases/counts go up).
+
+    Returns (src_blk, dst_blk, bases i32, counts i32, deg [n_pad,1] f32) —
+    the same arrays ``blocked_edges_from_csr`` would produce.
+    """
+    n = int(num_nodes)
+    e = int(indptr_np[-1])
+    nblocks = max(-(-n // ROW_BLOCK), 1)
+    row_starts = indptr_np[np.minimum(np.arange(nblocks) * ROW_BLOCK, n)]
+    row_ends = indptr_np[np.minimum((np.arange(nblocks) + 1) * ROW_BLOCK, n)]
+    counts = (row_ends - row_starts).astype(np.int64)
+    alloc = -(-counts // EDGE_CHUNK) * EDGE_CHUNK
+    bases = np.zeros(nblocks, np.int64)
+    np.cumsum(alloc[:-1], out=bases[1:])
+    total = max(int(alloc.sum()), EDGE_CHUNK)
+
+    indptr_dev = jnp.asarray(indptr_np.astype(np.int64))
+    bases_dev = jnp.asarray(bases)
+    starts_dev = jnp.asarray(row_starts.astype(np.int64))
+
+    # per-edge dst from CSR: dst[k] = row r with indptr[r] <= k < indptr[r+1]
+    k = jnp.arange(e, dtype=jnp.int64)
+    dst = (jnp.searchsorted(indptr_dev, k, side="right") - 1).astype(jnp.int32)
+    blk = dst // ROW_BLOCK
+    slots = jnp.take(bases_dev, blk) + (k - jnp.take(starts_dev, blk))
+    src_blk = jnp.zeros(total, jnp.int32).at[slots].set(indices_dev.astype(jnp.int32))
+    dst_blk = jnp.full(total, -1, jnp.int32).at[slots].set(dst)
+
+    deg = (indptr_np[1:] - indptr_np[:-1]).astype(np.float32)
+    deg = np.pad(deg, (0, nblocks * ROW_BLOCK - n))[:, None]
+    return (
+        src_blk,
+        dst_blk,
+        bases.astype(np.int32),
+        counts.astype(np.int32),
+        deg,
+    )
+
+
+class PallasSpmmDevice:
+    """Like :class:`PallasSpmm` but packs on device from a resident CSR."""
+
+    def __init__(self, indptr_np: np.ndarray, indices_dev: Array,
+                 num_nodes: int, edge_budget: int = 4 << 20):
+        self.num_nodes = int(num_nodes)
+        src_blk, dst_blk, bases, counts, deg = pack_blocked_device(
+            np.asarray(indptr_np, np.int64), indices_dev, num_nodes
+        )
+        nblocks = bases.shape[0]
+        alloc = -(-counts.astype(np.int64) // EDGE_CHUNK) * EDGE_CHUNK
+        self._groups = []
+        b0 = 0
+        while b0 < nblocks:
+            b1, edges = b0, 0
+            while b1 < nblocks and (edges + alloc[b1] <= edge_budget or b1 == b0):
+                edges += int(alloc[b1])
+                b1 += 1
+            self._groups.append((b0, b1, int(bases[b0]), int(edges)))
+            b0 = b1
+        self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
+        self._g_edges = max(e for _, _, _, e in self._groups)
+
+        self._parts = []
+        for b0, b1, e0, e_len in self._groups:
+            nb = b1 - b0
+            g_bases = np.pad(bases[b0:b1].astype(np.int64) - e0,
+                             (0, self._g_nblocks - nb))
+            g_counts = np.pad(counts[b0:b1], (0, self._g_nblocks - nb))
+            # device-side slice + pad (no host round-trip of edge data)
+            src_g = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(src_blk, (0, self._g_edges)), e0, self._g_edges
+            )
+            dst_g = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(dst_blk, (0, self._g_edges), constant_values=-1),
+                e0, self._g_edges,
+            )
+            # mask out edges beyond this group's real extent
+            idx = jnp.arange(self._g_edges)
+            dst_g = jnp.where(idx < e_len, dst_g - b0 * ROW_BLOCK, -1)
+            deg_g = deg[b0 * ROW_BLOCK : b0 * ROW_BLOCK + self._g_nblocks * ROW_BLOCK]
+            deg_g = np.pad(deg_g, ((0, self._g_nblocks * ROW_BLOCK - deg_g.shape[0]), (0, 0)))
+            self._parts.append(
+                (src_g, dst_g, jnp.asarray(g_bases.astype(np.int32)),
+                 jnp.asarray(g_counts), jnp.asarray(deg_g))
+            )
+
+    __call__ = PallasSpmm.__call__
+
+
 def csr_spmm(
     x: Array,
     indptr,

@@ -15,7 +15,9 @@ from .pipelines import (
 from .steps import (
     GraphData,
     TrainState,
+    make_baseline_epoch,
     make_baseline_step,
+    make_ct_epoch,
     make_ct_step,
     make_ctp_step,
     make_h_step,
@@ -36,7 +38,9 @@ __all__ = [
     "PipelineTES",
     "GraphData",
     "TrainState",
+    "make_baseline_epoch",
     "make_baseline_step",
+    "make_ct_epoch",
     "make_ct_step",
     "make_ctp_step",
     "make_h_step",

@@ -163,7 +163,17 @@ class BasePipeline:
             # many-edge graphs on TPU (eval/inference.py)
             from ..eval.inference import FullGraphInference
 
-            infer = FullGraphInference(spec, self.graph.edge_index, self.graph.num_nodes)
+            # reuse the device-resident training CSR: nothing big re-uploads
+            indptr_np = np.zeros(self.graph.num_nodes + 1, np.int64)
+            np.cumsum(
+                np.bincount(self.graph.edge_index[1],
+                            minlength=self.graph.num_nodes),
+                out=indptr_np[1:],
+            )
+            infer = FullGraphInference(
+                spec, None, self.graph.num_nodes,
+                csr=self.data.csr, indptr_np=indptr_np,
+            )
 
             def evaluate(params):
                 logits = infer(params, self.data.x)
@@ -332,7 +342,7 @@ class PipelineCO(BasePipeline):
     def _loop_baseline(self):
         c = self.config
         spec = self.spec_for(c.get("module_compare", c["module"]))
-        step = S.make_baseline_step(
+        epoch_fn = S.make_baseline_epoch(
             spec, self.optimizer, self.fanouts, compare_loss=c["compare_loss"]
         )
         evaluate = self.make_eval(spec)
@@ -344,11 +354,9 @@ class PipelineCO(BasePipeline):
             s = S.init_state(self.next_key(), spec, self.optimizer)
             best = 0.0
             for epoch in range(int(c["max_epochs"])):
-                agg, nb = None, 0
-                for batch in self.epoch_batches(train_idx, bs):
-                    s, m = step(s, self.data, batch, self.next_key(), noise_mat)
-                    nb += 1
-                    agg = self._acc_metrics(agg, m)
+                seeds, masks = self.epoch_seed_matrix(train_idx, bs)
+                nb = seeds.shape[0]
+                s, agg = epoch_fn(s, self.data, seeds, masks, self.next_key(), noise_mat)
                 rec_raw = self._fetch_metrics(agg, nb)
                 acc = evaluate(s.params)
                 best = max(best, acc["test"])

@@ -235,6 +235,56 @@ def make_ct_step(
     return step
 
 
+def make_baseline_epoch(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    compare_loss: str = "normal",
+):
+    """Whole-epoch baseline driver (lax.scan; see make_ct_epoch)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(
+        s: TrainState,
+        data: GraphData,
+        seeds: Array,
+        masks: Array,
+        key: Array,
+        noise_mat: Array,
+    ):
+        def body(carry, inp):
+            st = carry
+            b_seeds, b_mask, k = inp
+            kb, kd = jax.random.split(k)
+            tb = sample_khop_tree(kb, data.csr, b_seeds, fanouts, b_mask)
+            yb = jnp.take(data.yhn, b_seeds)
+            yt = jnp.take(data.y, b_seeds)
+
+            def loss_fn(p):
+                xs = tb.gather_features(data.x)
+                o = nets.apply_tree(spec, p, xs, list(tb.masks), fanouts,
+                                    train=True, key=kd)["logits"]
+                if compare_loss == "back":
+                    loss = backward_correction(o, yb, noise_mat, b_mask)
+                else:
+                    ce = cross_entropy(o, yb)
+                    w = b_mask.astype(jnp.float32)
+                    loss = jnp.sum(ce * w) / jnp.maximum(w.sum(), 1.0)
+                return loss, o
+
+            (loss, o), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+            u, os_ = optimizer.update(grads, st.opt_state, st.params)
+            m = jnp.stack([loss, _acc_count(o, yt, b_mask).astype(jnp.float32)])
+            return TrainState(optax.apply_updates(st.params, u), os_), m
+
+        keys = jax.random.split(key, seeds.shape[0])
+        s, ms = jax.lax.scan(body, s, (seeds, masks, keys))
+        tot = ms.sum(axis=0)
+        return s, {"loss": tot[0], "correct": tot[1]}
+
+    return epoch
+
+
 def make_baseline_step(
     spec: nets.NetSpec,
     optimizer,
