@@ -69,8 +69,8 @@ class FullGraphInference:
             else:
                 # derive the COO dst on device from the resident CSR
                 e = n_edges
-                k = jnp.arange(e, dtype=jnp.int64)
-                indptr_dev = jnp.asarray(indptr_np)
+                k = jnp.arange(e, dtype=jnp.int32)
+                indptr_dev = jnp.asarray(indptr_np.astype(np.int32))
                 dst = (jnp.searchsorted(indptr_dev, k, side="right") - 1).astype(jnp.int32)
                 self._edge_index = jnp.stack([csr.indices.astype(jnp.int32), dst])
         elif backend == "pallas":

@@ -98,6 +98,11 @@ def _reduce_kernel(
             slab,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if slab.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
         )
 
     @pl.when(nchunks > 0)
@@ -318,12 +323,13 @@ def pack_blocked_device(
     np.cumsum(alloc[:-1], out=bases[1:])
     total = max(int(alloc.sum()), EDGE_CHUNK)
 
-    indptr_dev = jnp.asarray(indptr_np.astype(np.int64))
-    bases_dev = jnp.asarray(bases)
-    starts_dev = jnp.asarray(row_starts.astype(np.int64))
+    # int32 everywhere: edge counts stay under 2^31 (products: 1.2e8)
+    indptr_dev = jnp.asarray(indptr_np.astype(np.int32))
+    bases_dev = jnp.asarray(bases.astype(np.int32))
+    starts_dev = jnp.asarray(row_starts.astype(np.int32))
 
     # per-edge dst from CSR: dst[k] = row r with indptr[r] <= k < indptr[r+1]
-    k = jnp.arange(e, dtype=jnp.int64)
+    k = jnp.arange(e, dtype=jnp.int32)
     dst = (jnp.searchsorted(indptr_dev, k, side="right") - 1).astype(jnp.int32)
     blk = dst // ROW_BLOCK
     slots = jnp.take(bases_dev, blk) + (k - jnp.take(starts_dev, blk))

@@ -93,7 +93,7 @@ class BasePipeline:
             variant=self.schedule_variant,
         )
 
-        self.optimizer = optax.adam(float(config["learning_rate"]))
+        self.optimizer = self._make_optimizer(config)
         self._full_edge_index_cache = None  # lazy: ~500 MB H2D for products
         self.key = jax.random.key(int(config.get("seed", 0)))
 
@@ -104,6 +104,20 @@ class BasePipeline:
         return self._full_edge_index_cache
 
     # -------------------------------------------------------------- helpers
+
+    @staticmethod
+    def _make_optimizer(config: dict):
+        """Reference NGNN.init_optimizer parity (src/models/model.py:66-81):
+        'adam' = plain Adam (the reference comments out weight decay);
+        'single_adam' = Adam with weight decay; 'double_adam' (joint params
+        under one optimizer) is expressed by passing param TUPLES to any
+        optimizer, as the TE/H pipelines do."""
+        lr = float(config["learning_rate"])
+        kind = config.get("optimizer", "adam")
+        wd = float(config.get("weight_decay", 0.0))
+        if kind == "single_adam" or (kind == "adam" and wd > 0):
+            return optax.adamw(lr, weight_decay=wd)
+        return optax.adam(lr)
 
     def _flip_labels(self):
         g = self.graph
@@ -401,10 +415,10 @@ class PipelineTE(BasePipeline):
             spl_noise_rate_pos=float(c["spl_noise_rate_pos"]),
             spl_noise_rate_neg=float(c["spl_noise_rate_neg"]),
         )
-        step_plain = S.make_te_step(spec, self.optimizer, self.fanouts,
-                                    use_contrast=False, **common)
-        step_cont = S.make_te_step(spec, self.optimizer, self.fanouts,
-                                   use_contrast=True, **common)
+        epoch_plain = S.make_te_epoch(spec, self.optimizer, self.fanouts,
+                                      use_contrast=False, **common)
+        epoch_cont = S.make_te_epoch(spec, self.optimizer, self.fanouts,
+                                     use_contrast=True, **common)
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
@@ -418,12 +432,10 @@ class PipelineTE(BasePipeline):
             best = 0.0
             for epoch in range(int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
-                step = step_cont if epoch > int(c["ct_tk"]) else step_plain
-                agg, nb = None, 0
-                for batch in self.epoch_batches(train_idx, bs):
-                    s, m = step(s, self.data, batch, self.next_key(), fr)
-                    nb += 1
-                    agg = self._acc_metrics(agg, m)
+                epoch_fn = epoch_cont if epoch > int(c["ct_tk"]) else epoch_plain
+                seeds, masks = self.epoch_seed_matrix(train_idx, bs)
+                nb = seeds.shape[0]
+                s, agg = epoch_fn(s, self.data, seeds, masks, self.next_key(), fr)
                 acc1 = evaluate(s.params[0])
                 acc2 = evaluate(s.params[1])
                 best = max(best, acc1["test"], acc2["test"])

@@ -448,6 +448,136 @@ def make_te_step(
 # ------------------------------------------------- co-teaching + consistency
 
 
+def make_te_epoch(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    algo: str = "coteaching",
+    co_lambda: float = 0.1,
+    use_contrast: bool = False,
+    spl_cont_beta: float = 1.0,
+    spl_rewire_rate: float = 0.1,
+    spl_noise_rate_pos: float = 0.1,
+    spl_noise_rate_neg: float = 0.1,
+):
+    """Whole-epoch TE driver: lax.scan over seed batches of the sagePL
+    co-teaching(+contrastive) step (see make_te_step for the math)."""
+    step_math = _te_step_math(
+        spec, fanouts, algo, co_lambda, use_contrast, spl_cont_beta,
+        spl_rewire_rate, spl_noise_rate_pos, spl_noise_rate_neg,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(
+        s: TrainState,
+        data: GraphData,
+        seeds: Array,
+        masks: Array,
+        key: Array,
+        forget_rate: Array,
+    ):
+        def body(carry, inp):
+            st = carry
+            b_seeds, b_mask, k = inp
+            (loss, aux), grads = jax.value_and_grad(
+                step_math, has_aux=True
+            )(st.params, data, Batch(b_seeds, b_mask), k, forget_rate)
+            u, os_ = optimizer.update(grads, st.opt_state, st.params)
+            ct = aux["ct"]
+            yt = jnp.take(data.y, b_seeds)
+            m = jnp.stack([
+                ct.loss_1, ct.loss_2, ct.pure_ratio_1, ct.pure_ratio_2,
+                aux["loss_cont_1"], aux["loss_cont_2"],
+                _acc_count(aux["o1"], yt, b_mask).astype(jnp.float32),
+                _acc_count(aux["o2"], yt, b_mask).astype(jnp.float32),
+            ])
+            return TrainState(optax.apply_updates(st.params, u), os_), m
+
+        keys = jax.random.split(key, seeds.shape[0])
+        s, ms = jax.lax.scan(body, s, (seeds, masks, keys))
+        tot = ms.sum(axis=0)
+        metrics = {
+            "loss_1": tot[0], "loss_2": tot[1],
+            "pure_ratio_1": tot[2], "pure_ratio_2": tot[3],
+            "loss_cont_1": tot[4], "loss_cont_2": tot[5],
+            "correct_1": tot[6], "correct_2": tot[7],
+        }
+        return s, metrics
+
+    return epoch
+
+
+def _te_step_math(
+    spec, fanouts, algo, co_lambda, use_contrast, spl_cont_beta,
+    spl_rewire_rate, spl_noise_rate_pos, spl_noise_rate_neg,
+):
+    """Loss of one TE step as a pure function of the joint params
+    (shared by make_te_step and make_te_epoch)."""
+
+    def loss_of(joint, data, batch, key, forget_rate):
+        kb, k1, k2, k3, k4, k5, k6, kshuf = jax.random.split(key, 8)
+        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
+        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
+        n_sub = x_sub.shape[0]
+        bsz = tb.batch_size
+        yb = jnp.take(data.yhn, batch.seeds)
+        cb = jnp.take(data.clean, batch.seeds)
+
+        p1, p2 = joint
+        out1 = nets.apply(
+            spec, p1, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
+            train=True, key=k1, n_id=n_id, noise_rate=spl_noise_rate_pos,
+        )
+        out2 = nets.apply(
+            spec, p2, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
+            train=True, key=k2, n_id=n_id, noise_rate=spl_noise_rate_pos,
+        )
+        o1 = out1["z_pure"][:bsz]
+        o2 = out2["z_pure"][:bsz]
+        if algo == "codi":
+            ct = codi_loss(o1, o2, yb, forget_rate, cb, co_lambda, batch.mask)
+        else:
+            ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
+        loss = ct.loss_1 + ct.loss_2
+        aux = {"ct": ct, "o1": o1, "o2": o2,
+               "loss_cont_1": jnp.float32(0), "loss_cont_2": jnp.float32(0)}
+        if use_contrast:
+            (pos_e, pos_m), (neg_e, neg_m) = topk_rewire(
+                out1["h_pure"], edge_index, edge_mask, spl_rewire_rate
+            )
+            hedge1 = nets.apply(
+                spec, p1, x_sub, pos_e, num_nodes=n_sub, edge_mask=pos_m,
+                train=True, key=k3, n_id=n_id, noise_rate=spl_noise_rate_pos,
+            )["h_pure"]
+            hedge2 = nets.apply(
+                spec, p2, x_sub, pos_e, num_nodes=n_sub, edge_mask=pos_m,
+                train=True, key=k4, n_id=n_id, noise_rate=spl_noise_rate_pos,
+            )["h_pure"]
+            new_x = shuffle_pos(kshuf, x_sub, spl_noise_rate_neg)
+            hneg1 = nets.apply(
+                spec, p1, new_x, neg_e, num_nodes=n_sub, edge_mask=neg_m,
+                train=True, key=k5, n_id=n_id, noise_rate=spl_noise_rate_neg,
+            )["h_noisy"]
+            hneg2 = nets.apply(
+                spec, p2, new_x, neg_e, num_nodes=n_sub, edge_mask=neg_m,
+                train=True, key=k6, n_id=n_id, noise_rate=spl_noise_rate_neg,
+            )["h_noisy"]
+            lp1, ln1 = discriminator_innerprod(
+                out1["h_pure"][:bsz], hedge1[:bsz], hneg1[:bsz]
+            )
+            lp2, ln2 = discriminator_innerprod(
+                out2["h_pure"][:bsz], hedge2[:bsz], hneg2[:bsz]
+            )
+            lc1 = bce_expert_loss(lp1, ln1, ct.noisy_1, ct.noisy_1)
+            lc2 = bce_expert_loss(lp2, ln2, ct.noisy_2, ct.noisy_2)
+            loss = loss + spl_cont_beta * (lc1 + lc2)
+            aux["loss_cont_1"] = lc1
+            aux["loss_cont_2"] = lc2
+        return loss, aux
+
+    return loss_of
+
+
 def make_ctp_step(
     spec: nets.NetSpec,
     optimizer,
