@@ -472,8 +472,8 @@ class PipelineCTP(BasePipeline):
         c = self.config
         spec = self.spec_for()  # sagePL
         kw = dict(beta=1.0, spl_noise=float(c.get("spl_noise", 0.1)))
-        step0 = S.make_ctp_step(spec, self.optimizer, self.fanouts, use_cr=False, **kw)
-        step1 = S.make_ctp_step(spec, self.optimizer, self.fanouts, use_cr=True, **kw)
+        epoch0 = S.make_ctp_epoch(spec, self.optimizer, self.fanouts, use_cr=False, **kw)
+        epoch1 = S.make_ctp_epoch(spec, self.optimizer, self.fanouts, use_cr=True, **kw)
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
@@ -486,12 +486,12 @@ class PipelineCTP(BasePipeline):
             best = 0.0
             for epoch in range(int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
-                step = step1 if epoch > 0 else step0
-                agg, nb = None, 0
-                for batch in self.epoch_batches(train_idx, bs):
-                    s1, s2, m = step(s1, s2, self.data, batch, self.next_key(), fr)
-                    nb += 1
-                    agg = self._acc_metrics(agg, m)
+                epoch_fn = epoch1 if epoch > 0 else epoch0
+                seeds, masks = self.epoch_seed_matrix(train_idx, bs)
+                nb = seeds.shape[0]
+                s1, s2, agg = epoch_fn(
+                    s1, s2, self.data, seeds, masks, self.next_key(), fr
+                )
                 acc1 = evaluate(s1.params)
                 acc2 = evaluate(s2.params)
                 best = max(best, acc1["test"], acc2["test"])
@@ -522,11 +522,11 @@ class PipelineH(BasePipeline):
         c = self.config
         spec = self.spec_for()  # sage or sageH
         pseudo_spec = self.spec_for("sage")
-        step0 = S.make_h_step(spec, pseudo_spec, self.optimizer, self.fanouts,
-                              use_pseudo=False)
-        step1 = S.make_h_step(spec, pseudo_spec, self.optimizer, self.fanouts,
-                              use_pseudo=True,
-                              rewire_rate=float(c.get("spl_rewire_rate", 0.2)))
+        epoch0 = S.make_h_epoch(spec, pseudo_spec, self.optimizer, self.fanouts,
+                                use_pseudo=False)
+        epoch1 = S.make_h_epoch(spec, pseudo_spec, self.optimizer, self.fanouts,
+                                use_pseudo=True,
+                                rewire_rate=float(c.get("spl_rewire_rate", 0.2)))
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
@@ -543,12 +543,10 @@ class PipelineH(BasePipeline):
             best = 0.0
             for epoch in range(int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
-                step = step1 if epoch > 0 else step0
-                agg, nb = None, 0
-                for batch in self.epoch_batches(train_idx, bs):
-                    s, m = step(s, self.data, batch, self.next_key(), fr)
-                    nb += 1
-                    agg = self._acc_metrics(agg, m)
+                epoch_fn = epoch1 if epoch > 0 else epoch0
+                seeds, masks = self.epoch_seed_matrix(train_idx, bs)
+                nb = seeds.shape[0]
+                s, agg = epoch_fn(s, self.data, seeds, masks, self.next_key(), fr)
                 acc1 = evaluate(s.params[0])
                 acc2 = evaluate(s.params[1])
                 best = max(best, acc1["test"], acc2["test"])
@@ -580,7 +578,7 @@ class PipelineCT(BasePipeline):
         # intended module is sageFC (config_contrast.yml:13; unwired in the
         # reference's NGNN — wired here per SURVEY §7.3 item 8)
         spec = self.spec_for()
-        warm_step = S.make_ct_step(spec, self.optimizer, self.fanouts)
+        warm_epoch = S.make_ct_epoch(spec, self.optimizer, self.fanouts)
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
@@ -615,8 +613,10 @@ class PipelineCT(BasePipeline):
         warmup = int(c["warmup"])
         for epoch in range(warmup):
             fr = jnp.float32(self.rate_schedule[epoch])
-            for batch in self.epoch_batches(train_idx, bs):
-                s1, s2, m = warm_step(s1, s2, self.data, batch, self.next_key(), fr)
+            seeds, masks = self.epoch_seed_matrix(train_idx, bs)
+            s1, s2, _ = warm_epoch(
+                s1, s2, self.data, seeds, masks, self.next_key(), fr
+            )
             acc1 = evaluate(s1.params)
             acc2 = evaluate(s2.params)
             self.metrics.write(event="warmup", epoch=epoch,
@@ -646,18 +646,18 @@ class PipelineCT(BasePipeline):
 
         # ---- phase 2: semi + contrastive finetune of model1
         ft_opt = optax.adam(float(c.get("next_lr", c["learning_rate"])))
-        ft_step = S.make_contrast_train_step(spec, ft_opt, self.fanouts,
-                                             lam=float(c["lambda"]))
+        ft_epoch = S.make_contrast_train_epoch(spec, ft_opt, self.fanouts,
+                                               lam=float(c["lambda"]))
         s = S.TrainState(best_params, ft_opt.init(best_params))
         bs2 = min(1024, max(clean_ids.size, 1))
         for epoch in range(warmup, int(c["max_epochs"])):
-            batches_c = list(self.epoch_batches(clean_ids, bs2))
-            batches_n = list(self.epoch_batches(noisy_ids, bs2))
-            agg, nb = None, 0
-            for bc, bn in zip(batches_c, batches_n):
-                s, m = ft_step(s, self.data, views, bc, bn, self.next_key())
-                nb += 1
-                agg = self._acc_metrics(agg, m)
+            cs, cm = self.epoch_seed_matrix(clean_ids, bs2)
+            ns, nm = self.epoch_seed_matrix(noisy_ids, bs2)
+            nb = min(cs.shape[0], ns.shape[0])  # zip semantics
+            s, agg = ft_epoch(
+                s, self.data, views, cs[:nb], cm[:nb], ns[:nb], nm[:nb],
+                self.next_key(),
+            )
             rec = self._fetch_metrics(agg, max(nb, 1))
             acc = evaluate(s.params)
             self.metrics.write(event="finetune", epoch=epoch, **rec,
@@ -736,7 +736,7 @@ class PipelineA(BasePipeline):
     def loop(self):
         c = self.config
         spec = self.spec_for()
-        step = S.make_ct_step(spec, self.optimizer, self.fanouts)
+        epoch_fn = S.make_ct_epoch(spec, self.optimizer, self.fanouts)
         evaluate = self.make_eval(spec)
         eval_fn = S.make_eval_fn(spec)
         train_idx = self.split_idx["train"]
@@ -748,8 +748,9 @@ class PipelineA(BasePipeline):
 
         for epoch in range(int(c["max_epochs"])):
             fr = jnp.float32(self.rate_schedule[epoch])
-            for batch in self.epoch_batches(train_idx, bs):
-                s1, s2, m = step(s1, s2, self.data, batch, self.next_key(), fr)
+            seeds, masks = self.epoch_seed_matrix(train_idx, bs)
+            s1, s2, _ = epoch_fn(s1, s2, self.data, seeds, masks,
+                                 self.next_key(), fr)
             # selection-quality probes on the train set
             logits = eval_fn(s1.params, self.data.x, self._full_edge_index)
             sel_stats = {"clean_correct": 0, "clean_total": 0,

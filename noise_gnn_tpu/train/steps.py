@@ -356,6 +356,10 @@ def make_te_step(
     ``use_contrast`` is static — the epoch <= ct_tk phase compiles without the
     rewiring graphs, matching `if epoch > ct_tk` (src/pipeline_test.py:123).
     """
+    loss_of = _te_step_math(
+        spec, fanouts, algo, co_lambda, use_contrast, spl_cont_beta,
+        spl_rewire_rate, spl_noise_rate_pos, spl_noise_rate_neg,
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(
@@ -365,69 +369,10 @@ def make_te_step(
         key: Array,
         forget_rate: Array,
     ):
-        kb, k1, k2, k3, k4, k5, k6, kshuf = jax.random.split(key, 8)
-        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
-        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
-        n_sub = x_sub.shape[0]
-        bsz = tb.batch_size
-        yb, yt, cb = _seed_labels(data, batch)
-
-        def loss_fn(joint):
-            p1, p2 = joint
-            out1 = nets.apply(
-                spec, p1, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
-                train=True, key=k1, n_id=n_id, noise_rate=spl_noise_rate_pos,
-            )
-            out2 = nets.apply(
-                spec, p2, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
-                train=True, key=k2, n_id=n_id, noise_rate=spl_noise_rate_pos,
-            )
-            o1 = out1["z_pure"][:bsz]
-            o2 = out2["z_pure"][:bsz]
-            if algo == "codi":
-                ct = codi_loss(o1, o2, yb, forget_rate, cb, co_lambda, batch.mask)
-            else:
-                ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
-            loss = ct.loss_1 + ct.loss_2
-            aux = {"ct": ct, "o1": o1, "o2": o2,
-                   "loss_cont_1": jnp.float32(0), "loss_cont_2": jnp.float32(0)}
-            if use_contrast:
-                (pos_e, pos_m), (neg_e, neg_m) = topk_rewire(
-                    out1["h_pure"], edge_index, edge_mask, spl_rewire_rate
-                )
-                # positive views: pure branch on the rewired graph
-                hedge1 = nets.apply(
-                    spec, p1, x_sub, pos_e, num_nodes=n_sub, edge_mask=pos_m,
-                    train=True, key=k3, n_id=n_id, noise_rate=spl_noise_rate_pos,
-                )["h_pure"]
-                hedge2 = nets.apply(
-                    spec, p2, x_sub, pos_e, num_nodes=n_sub, edge_mask=pos_m,
-                    train=True, key=k4, n_id=n_id, noise_rate=spl_noise_rate_pos,
-                )["h_pure"]
-                # negative views: noisy branch on shuffled features + neg graph
-                new_x = shuffle_pos(kshuf, x_sub, spl_noise_rate_neg)
-                hneg1 = nets.apply(
-                    spec, p1, new_x, neg_e, num_nodes=n_sub, edge_mask=neg_m,
-                    train=True, key=k5, n_id=n_id, noise_rate=spl_noise_rate_neg,
-                )["h_noisy"]
-                hneg2 = nets.apply(
-                    spec, p2, new_x, neg_e, num_nodes=n_sub, edge_mask=neg_m,
-                    train=True, key=k6, n_id=n_id, noise_rate=spl_noise_rate_neg,
-                )["h_noisy"]
-                lp1, ln1 = discriminator_innerprod(
-                    out1["h_pure"][:bsz], hedge1[:bsz], hneg1[:bsz]
-                )
-                lp2, ln2 = discriminator_innerprod(
-                    out2["h_pure"][:bsz], hedge2[:bsz], hneg2[:bsz]
-                )
-                lc1 = bce_expert_loss(lp1, ln1, ct.noisy_1, ct.noisy_1)
-                lc2 = bce_expert_loss(lp2, ln2, ct.noisy_2, ct.noisy_2)
-                loss = loss + spl_cont_beta * (lc1 + lc2)
-                aux["loss_cont_1"] = lc1
-                aux["loss_cont_2"] = lc2
-            return loss, aux
-
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(s.params)
+        yt = jnp.take(data.y, batch.seeds)
+        (_, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            s.params, data, batch, key, forget_rate
+        )
         u, os_ = optimizer.update(grads, s.opt_state, s.params)
         ct = aux["ct"]
         metrics = {
@@ -578,6 +523,126 @@ def _te_step_math(
     return loss_of
 
 
+def _ctp_step_math(
+    spec, fanouts, use_cr, beta, spl_noise, use_ncr, ncr_temp,
+):
+    """Loss of one CTP step as a pure function of (p1, p2) — shared by
+    make_ctp_step and make_ctp_epoch."""
+
+    def loss_of(p1, p2, data, batch, key, forget_rate):
+        kb, k1, k2 = jax.random.split(key, 3)
+        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
+        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
+        n_sub = x_sub.shape[0]
+        bsz = tb.batch_size
+        yb = jnp.take(data.yhn, batch.seeds)
+        cb = jnp.take(data.clean, batch.seeds)
+
+        def one_out(p, k):
+            return nets.apply(
+                spec, p, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
+                train=True, key=k, n_id=n_id, noise_rate=spl_noise,
+            )
+
+        out1 = one_out(p1, k1)
+        out2 = one_out(p2, k2)
+        o1 = out1["z_pure"][:bsz]
+        o2 = out2["z_pure"][:bsz]
+        ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
+        loss1, loss2 = ct.loss_1, ct.loss_2
+        cr1 = cr2 = jnp.float32(0)
+        if use_ncr:
+            # neighborhood-consistency regularizer (the reference's commented
+            # NCR path, src/pipeline_ctp.py:119-126, with the intended
+            # neighbor_align math)
+            pad1 = jnp.zeros((x_sub.shape[0] - bsz,), bool)
+            nm1 = jnp.concatenate([ct.noisy_1, pad1])
+            nm2 = jnp.concatenate([ct.noisy_2, pad1])
+            nal1 = neighbor_align(edge_index, out1["y_pure"], nm1,
+                                  temp=ncr_temp, edge_mask=edge_mask)
+            nal2 = neighbor_align(edge_index, out2["y_pure"], nm2,
+                                  temp=ncr_temp, edge_mask=edge_mask)
+            loss1 = loss1 + beta * nal1
+            loss2 = loss2 + beta * nal2
+        if use_cr:
+            w1 = jax.lax.stop_gradient(
+                get_uncertainty(edge_index, out1["y_pure"], spec.out_size, edge_mask)
+            )
+            w2 = jax.lax.stop_gradient(
+                get_uncertainty(edge_index, out2["y_pure"], spec.out_size, edge_mask)
+            )
+            cr1 = fix_cr(out1["y_pure"], out1["y_noisy"], bsz, w=w1,
+                         sample_mask=batch.mask)
+            cr2 = fix_cr(out2["y_pure"], out2["y_noisy"], bsz, w=w2,
+                         sample_mask=batch.mask)
+            loss1 = loss1 + beta * cr1
+            loss2 = loss2 + beta * cr2
+        return loss1 + loss2, (ct, o1, o2, cr1, cr2)
+
+    return loss_of
+
+
+def make_ctp_epoch(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    use_cr: bool = False,
+    beta: float = 1.0,
+    spl_noise: float = 0.1,
+    use_ncr: bool = False,
+    ncr_temp: float = 0.1,
+):
+    """Whole-epoch CTP driver: lax.scan over seed batches of the
+    co-teaching+consistency step (see make_ctp_step for the math)."""
+    loss_of = _ctp_step_math(
+        spec, fanouts, use_cr, beta, spl_noise, use_ncr, ncr_temp
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(
+        s1: TrainState,
+        s2: TrainState,
+        data: GraphData,
+        seeds: Array,
+        masks: Array,
+        key: Array,
+        forget_rate: Array,
+    ):
+        def body(carry, inp):
+            s1, s2 = carry
+            b_seeds, b_mask, k = inp
+            (_, (ct, o1, o2, cr1, cr2)), grads = jax.value_and_grad(
+                loss_of, argnums=(0, 1), has_aux=True
+            )(s1.params, s2.params, data, Batch(b_seeds, b_mask), k, forget_rate)
+            u1, os1 = optimizer.update(grads[0], s1.opt_state, s1.params)
+            u2, os2 = optimizer.update(grads[1], s2.opt_state, s2.params)
+            yt = jnp.take(data.y, b_seeds)
+            m = jnp.stack([
+                ct.loss_1 + beta * cr1, ct.loss_2 + beta * cr2, cr1, cr2,
+                ct.pure_ratio_1, ct.pure_ratio_2,
+                _acc_count(o1, yt, b_mask).astype(jnp.float32),
+                _acc_count(o2, yt, b_mask).astype(jnp.float32),
+            ])
+            new = (
+                TrainState(optax.apply_updates(s1.params, u1), os1),
+                TrainState(optax.apply_updates(s2.params, u2), os2),
+            )
+            return new, m
+
+        keys = jax.random.split(key, seeds.shape[0])
+        (s1, s2), ms = jax.lax.scan(body, (s1, s2), (seeds, masks, keys))
+        tot = ms.sum(axis=0)
+        metrics = {
+            "loss_1": tot[0], "loss_2": tot[1],
+            "loss_cr_1": tot[2], "loss_cr_2": tot[3],
+            "pure_ratio_1": tot[4], "pure_ratio_2": tot[5],
+            "correct_1": tot[6], "correct_2": tot[7],
+        }
+        return s1, s2, metrics
+
+    return epoch
+
+
 def make_ctp_step(
     spec: nets.NetSpec,
     optimizer,
@@ -592,6 +657,9 @@ def make_ctp_step(
     uncertainty (reference PipelineCTP.train_ct, src/pipeline_ctp.py:85-177;
     the reference's dead ``topk_rewire``/``noisy_rate=`` stale-API calls are
     intentionally dropped — see SURVEY §7.3 item 8)."""
+    loss_of = _ctp_step_math(
+        spec, fanouts, use_cr, beta, spl_noise, use_ncr, ncr_temp
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(
@@ -602,59 +670,10 @@ def make_ctp_step(
         key: Array,
         forget_rate: Array,
     ):
-        kb, k1, k2 = jax.random.split(key, 3)
-        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
-        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
-        n_sub = x_sub.shape[0]
-        bsz = tb.batch_size
-        yb, yt, cb = _seed_labels(data, batch)
-
-        def one_loss(p, k):
-            out = nets.apply(
-                spec, p, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
-                train=True, key=k, n_id=n_id, noise_rate=spl_noise,
-            )
-            return out
-
-        def loss_fn(p1, p2):
-            out1 = one_loss(p1, k1)
-            out2 = one_loss(p2, k2)
-            o1 = out1["z_pure"][:bsz]
-            o2 = out2["z_pure"][:bsz]
-            ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
-            loss1, loss2 = ct.loss_1, ct.loss_2
-            cr1 = cr2 = jnp.float32(0)
-            if use_ncr:
-                # neighborhood-consistency regularizer (the reference's
-                # commented NCR path, src/pipeline_ctp.py:119-126, with the
-                # intended neighbor_align math)
-                pad1 = jnp.zeros((x_sub.shape[0] - bsz,), bool)
-                nm1 = jnp.concatenate([ct.noisy_1, pad1])
-                nm2 = jnp.concatenate([ct.noisy_2, pad1])
-                nal1 = neighbor_align(edge_index, out1["y_pure"], nm1,
-                                      temp=ncr_temp, edge_mask=edge_mask)
-                nal2 = neighbor_align(edge_index, out2["y_pure"], nm2,
-                                      temp=ncr_temp, edge_mask=edge_mask)
-                loss1 = loss1 + beta * nal1
-                loss2 = loss2 + beta * nal2
-            if use_cr:
-                w1 = jax.lax.stop_gradient(
-                    get_uncertainty(edge_index, out1["y_pure"], spec.out_size, edge_mask)
-                )
-                w2 = jax.lax.stop_gradient(
-                    get_uncertainty(edge_index, out2["y_pure"], spec.out_size, edge_mask)
-                )
-                cr1 = fix_cr(out1["y_pure"], out1["y_noisy"], bsz, w=w1,
-                             sample_mask=batch.mask)
-                cr2 = fix_cr(out2["y_pure"], out2["y_noisy"], bsz, w=w2,
-                             sample_mask=batch.mask)
-                loss1 = loss1 + beta * cr1
-                loss2 = loss2 + beta * cr2
-            return loss1 + loss2, (ct, o1, o2, cr1, cr2)
-
+        yt = jnp.take(data.y, batch.seeds)
         (_, (ct, o1, o2, cr1, cr2)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(s1.params, s2.params)
+            loss_of, argnums=(0, 1), has_aux=True
+        )(s1.params, s2.params, data, batch, key, forget_rate)
         u1, os1 = optimizer.update(grads[0], s1.opt_state, s1.params)
         u2, os2 = optimizer.update(grads[1], s2.opt_state, s2.params)
         metrics = {
@@ -679,6 +698,102 @@ def make_ctp_step(
 # ------------------------------------------------- pseudo-label co-teaching
 
 
+def _h_step_math(spec, pseudo_spec, fanouts, use_pseudo, beta, rewire_rate):
+    """Loss of one PipelineH step as a pure function of the joint
+    (p1, p2, p_pseudo) params — shared by make_h_step and make_h_epoch."""
+
+    def loss_of(joint, data, batch, key, forget_rate):
+        kb, k1, k2, k3 = jax.random.split(key, 4)
+        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
+        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
+        n_sub = x_sub.shape[0]
+        bsz = tb.batch_size
+        yb = jnp.take(data.yhn, batch.seeds)
+        cb = jnp.take(data.clean, batch.seeds)
+
+        p1, p2, pp = joint
+        o1 = nets.apply(spec, p1, x_sub, edge_index, num_nodes=n_sub,
+                        edge_mask=edge_mask, train=True, key=k1)["logits"][:bsz]
+        o2 = nets.apply(spec, p2, x_sub, edge_index, num_nodes=n_sub,
+                        edge_mask=edge_mask, train=True, key=k2)["logits"][:bsz]
+        ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
+        loss = ct.loss_1 + ct.loss_2
+        loss_pred = loss_add = jnp.float32(0)
+        if use_pseudo:
+            # pseudo labels from the rewired (positive) graph, raw features
+            (pos_e, pos_m), _ = topk_rewire(x_sub, edge_index, edge_mask, rewire_rate)
+            pl = nets.apply(pseudo_spec, pp, x_sub, pos_e, num_nodes=n_sub,
+                            edge_mask=pos_m, train=True, key=k3)["logits"][:bsz]
+            pred_soft = jax.lax.stop_gradient(jax.nn.softmax(pl, axis=-1))
+            logp1 = jax.nn.log_softmax(o1, axis=-1)
+            logp2 = jax.nn.log_softmax(o2, axis=-1)
+            w1 = ct.noisy_1.astype(jnp.float32)
+            w2 = ct.noisy_2.astype(jnp.float32)
+            add1 = jnp.sum(-jnp.sum(pred_soft * logp1, -1) * w1) / jnp.maximum(w1.sum(), 1.0)
+            add2 = jnp.sum(-jnp.sum(pred_soft * logp2, -1) * w2) / jnp.maximum(w2.sum(), 1.0)
+            loss_add = add1 + add2
+            wm = batch.mask.astype(jnp.float32)
+            ce_p = jnp.sum(cross_entropy(pl, yb) * wm) / jnp.maximum(wm.sum(), 1.0)
+            loss_pred = 2.0 * ce_p  # reference sums CE for both (identical) clones
+            loss = loss + loss_pred + beta * loss_add
+        return loss, (ct, o1, o2, loss_pred, loss_add)
+
+    return loss_of
+
+
+def make_h_epoch(
+    spec: nets.NetSpec,
+    pseudo_spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    use_pseudo: bool = False,
+    beta: float = 1.0,
+    rewire_rate: float = 0.2,
+):
+    """Whole-epoch PipelineH driver: lax.scan over seed batches of the
+    3-net pseudo-label co-teaching step (see make_h_step for the math)."""
+    loss_of = _h_step_math(spec, pseudo_spec, fanouts, use_pseudo, beta,
+                           rewire_rate)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(
+        s: TrainState,
+        data: GraphData,
+        seeds: Array,
+        masks: Array,
+        key: Array,
+        forget_rate: Array,
+    ):
+        def body(carry, inp):
+            st = carry
+            b_seeds, b_mask, k = inp
+            (_, (ct, o1, o2, lp, la)), grads = jax.value_and_grad(
+                loss_of, has_aux=True
+            )(st.params, data, Batch(b_seeds, b_mask), k, forget_rate)
+            u, os_ = optimizer.update(grads, st.opt_state, st.params)
+            yt = jnp.take(data.y, b_seeds)
+            m = jnp.stack([
+                ct.loss_1, ct.loss_2, lp, la,
+                ct.pure_ratio_1, ct.pure_ratio_2,
+                _acc_count(o1, yt, b_mask).astype(jnp.float32),
+                _acc_count(o2, yt, b_mask).astype(jnp.float32),
+            ])
+            return TrainState(optax.apply_updates(st.params, u), os_), m
+
+        keys = jax.random.split(key, seeds.shape[0])
+        s, ms = jax.lax.scan(body, s, (seeds, masks, keys))
+        tot = ms.sum(axis=0)
+        metrics = {
+            "loss_1": tot[0], "loss_2": tot[1],
+            "loss_pred": tot[2], "loss_add": tot[3],
+            "pure_ratio_1": tot[4], "pure_ratio_2": tot[5],
+            "correct_1": tot[6], "correct_2": tot[7],
+        }
+        return s, metrics
+
+    return epoch
+
+
 def make_h_step(
     spec: nets.NetSpec,
     pseudo_spec: nets.NetSpec,
@@ -691,6 +806,8 @@ def make_h_step(
     """Co-teaching + third pseudo-labeler net on a topk-rewired graph,
     one joint optimizer over all three nets (reference PipelineH.train_ct,
     src/pipeline_h.py:95-175). State params = (p1, p2, p_pseudo)."""
+    loss_of = _h_step_math(spec, pseudo_spec, fanouts, use_pseudo, beta,
+                           rewire_rate)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(
@@ -700,44 +817,10 @@ def make_h_step(
         key: Array,
         forget_rate: Array,
     ):
-        kb, k1, k2, k3 = jax.random.split(key, 4)
-        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
-        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
-        n_sub = x_sub.shape[0]
-        bsz = tb.batch_size
-        yb, yt, cb = _seed_labels(data, batch)
-
-        def loss_fn(joint):
-            p1, p2, pp = joint
-            o1 = nets.apply(spec, p1, x_sub, edge_index, num_nodes=n_sub,
-                            edge_mask=edge_mask, train=True, key=k1)["logits"][:bsz]
-            o2 = nets.apply(spec, p2, x_sub, edge_index, num_nodes=n_sub,
-                            edge_mask=edge_mask, train=True, key=k2)["logits"][:bsz]
-            ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
-            loss = ct.loss_1 + ct.loss_2
-            loss_pred = loss_add = jnp.float32(0)
-            if use_pseudo:
-                # pseudo labels from the rewired (positive) graph, raw features
-                (pos_e, pos_m), _ = topk_rewire(x_sub, edge_index, edge_mask, rewire_rate)
-                pl = nets.apply(pseudo_spec, pp, x_sub, pos_e, num_nodes=n_sub,
-                                edge_mask=pos_m, train=True, key=k3)["logits"][:bsz]
-                pred_soft = jax.lax.stop_gradient(jax.nn.softmax(pl, axis=-1))
-                logp1 = jax.nn.log_softmax(o1, axis=-1)
-                logp2 = jax.nn.log_softmax(o2, axis=-1)
-                w1 = ct.noisy_1.astype(jnp.float32)
-                w2 = ct.noisy_2.astype(jnp.float32)
-                add1 = jnp.sum(-jnp.sum(pred_soft * logp1, -1) * w1) / jnp.maximum(w1.sum(), 1.0)
-                add2 = jnp.sum(-jnp.sum(pred_soft * logp2, -1) * w2) / jnp.maximum(w2.sum(), 1.0)
-                loss_add = add1 + add2
-                wm = batch.mask.astype(jnp.float32)
-                ce_p = jnp.sum(cross_entropy(pl, yb) * wm) / jnp.maximum(wm.sum(), 1.0)
-                loss_pred = 2.0 * ce_p  # reference sums CE for both (identical) clones
-                loss = loss + loss_pred + beta * loss_add
-            return loss, (ct, o1, o2, loss_pred, loss_add)
-
-        (_, (ct, o1, o2, lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            s.params
-        )
+        yt = jnp.take(data.y, batch.seeds)
+        (_, (ct, o1, o2, lp, la)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(s.params, data, batch, key, forget_rate)
         u, os_ = optimizer.update(grads, s.opt_state, s.params)
         metrics = {
             "loss_1": ct.loss_1,
@@ -757,6 +840,88 @@ def make_h_step(
 # --------------------------------------------- contrastive pretrain/finetune
 
 
+def _contrast_step_math(spec, fanouts, lam):
+    """Loss of one PipelineCT finetune step as a pure function of the params
+    — shared by make_contrast_train_step and make_contrast_train_epoch."""
+
+    def loss_of(p, data, views, clean_batch, noisy_batch, key):
+        keys = jax.random.split(key, 12)
+        yb = jnp.take(data.yhn, clean_batch.seeds)
+
+        def embed(x, csr, batch, kk, kd):
+            tb = sample_khop_tree(kk, csr, batch.seeds, fanouts, batch.mask)
+            xs = [jnp.take(x, ids, axis=0) for ids in tb.n_ids]
+            return nets.apply_tree(
+                spec, p, xs, list(tb.masks), fanouts, train=True, key=kd
+            )
+
+        out_c = embed(data.x, data.csr, clean_batch, keys[0], keys[1])
+        o_semi = out_c["logits"]
+        w = clean_batch.mask.astype(jnp.float32)
+        loss_semi = jnp.sum(cross_entropy(o_semi, yb) * w) / jnp.maximum(w.sum(), 1.0)
+
+        h = embed(*views["orig"], noisy_batch, keys[2], keys[3])["h"]
+        h_s1 = embed(*views["edge_s"], noisy_batch, keys[4], keys[5])["h"]
+        h_s2 = embed(*views["feat_s"], noisy_batch, keys[6], keys[7])["h"]
+        h_l = embed(*views["large"], noisy_batch, keys[8], keys[9])["h"]
+        lp1, lp2, ln = discriminator_innerprod2(h, h_s1, h_s2, h_l)
+        loss_cont = bce_expert_loss2(lp1, lp2, ln, noisy_batch.mask, noisy_batch.mask)
+        return loss_semi + lam * loss_cont, (loss_semi, loss_cont, o_semi)
+
+    return loss_of
+
+
+def make_contrast_train_epoch(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    lam: float = 1.0,
+):
+    """Whole-epoch PipelineCT finetune driver: lax.scan over zipped
+    (clean, noisy) seed batches (see make_contrast_train_step for the math)."""
+    loss_of = _contrast_step_math(spec, fanouts, lam)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(
+        s: TrainState,
+        data: GraphData,
+        views: dict,
+        clean_seeds: Array,   # [nsteps, Bc]
+        clean_masks: Array,
+        noisy_seeds: Array,   # [nsteps, Bn]
+        noisy_masks: Array,
+        key: Array,
+    ):
+        def body(carry, inp):
+            st = carry
+            cs, cm, ns, nm, k = inp
+            (loss, (ls, lc, o)), grads = jax.value_and_grad(
+                loss_of, has_aux=True
+            )(st.params, data, views, Batch(cs, cm), Batch(ns, nm), k)
+            u, os_ = optimizer.update(grads, st.opt_state, st.params)
+            yt = jnp.take(data.y, cs)
+            m = jnp.stack([
+                ls, lc, loss,
+                _acc_count(o, yt, cm).astype(jnp.float32),
+            ])
+            return TrainState(optax.apply_updates(st.params, u), os_), m
+
+        keys = jax.random.split(key, clean_seeds.shape[0])
+        s, ms = jax.lax.scan(
+            body, s, (clean_seeds, clean_masks, noisy_seeds, noisy_masks, keys)
+        )
+        tot = ms.sum(axis=0)
+        metrics = {
+            "loss_semi": tot[0],
+            "loss_cont": tot[1],
+            "loss": tot[2],
+            "correct": tot[3],
+        }
+        return s, metrics
+
+    return epoch
+
+
 def make_contrast_train_step(
     spec: nets.NetSpec,
     optimizer,
@@ -770,6 +935,7 @@ def make_contrast_train_step(
 
     ``views`` is a GraphData-like pytree per view (same y/yhn; x and csr can
     differ). State params: single finetuned net (model1)."""
+    loss_of = _contrast_step_math(spec, fanouts, lam)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(
@@ -780,33 +946,10 @@ def make_contrast_train_step(
         noisy_batch: Batch,
         key: Array,
     ):
-        keys = jax.random.split(key, 12)
-        yb = jnp.take(data.yhn, clean_batch.seeds)
         yt = jnp.take(data.y, clean_batch.seeds)
-
-        def embed(p, x, csr, batch, kk, kd):
-            tb = sample_khop_tree(kk, csr, batch.seeds, fanouts, batch.mask)
-            xs = [jnp.take(x, ids, axis=0) for ids in tb.n_ids]
-            out = nets.apply_tree(
-                spec, p, xs, list(tb.masks), fanouts, train=True, key=kd
-            )
-            return out
-
-        def loss_fn(p):
-            out_c = embed(p, data.x, data.csr, clean_batch, keys[0], keys[1])
-            o_semi = out_c["logits"]
-            w = clean_batch.mask.astype(jnp.float32)
-            loss_semi = jnp.sum(cross_entropy(o_semi, yb) * w) / jnp.maximum(w.sum(), 1.0)
-
-            h = embed(p, *views["orig"], noisy_batch, keys[2], keys[3])["h"]
-            h_s1 = embed(p, *views["edge_s"], noisy_batch, keys[4], keys[5])["h"]
-            h_s2 = embed(p, *views["feat_s"], noisy_batch, keys[6], keys[7])["h"]
-            h_l = embed(p, *views["large"], noisy_batch, keys[8], keys[9])["h"]
-            lp1, lp2, ln = discriminator_innerprod2(h, h_s1, h_s2, h_l)
-            loss_cont = bce_expert_loss2(lp1, lp2, ln, noisy_batch.mask, noisy_batch.mask)
-            return loss_semi + lam * loss_cont, (loss_semi, loss_cont, o_semi)
-
-        (loss, (ls, lc, o)), grads = jax.value_and_grad(loss_fn, has_aux=True)(s.params)
+        (loss, (ls, lc, o)), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            s.params, data, views, clean_batch, noisy_batch, key
+        )
         u, os_ = optimizer.update(grads, s.opt_state, s.params)
         metrics = {
             "loss_semi": ls,

@@ -205,3 +205,145 @@ def test_epoch_scan_matches_step_loop(tiny):
     for a, b_ in zip(jax.tree_util.tree_leaves(s1e.params),
                      jax.tree_util.tree_leaves(s1b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=1e-5)
+
+
+def test_ctp_epoch_matches_step_loop(tiny):
+    """make_ctp_epoch == iterating make_ctp_step with the same keys."""
+    g, data, _ = tiny
+    spec = spec_for(g, module="sagePL")
+    opt = optax.adam(1e-3)
+    fan = (4, 3)
+    nsteps, bs = 2, 16
+    rng = np.random.default_rng(13)
+    seeds = rng.choice(g.num_nodes, (nsteps, bs), replace=False).astype(np.int32)
+    masks = np.ones((nsteps, bs), bool)
+    fr = jnp.float32(0.2)
+    key = jax.random.key(7)
+
+    e_fn = S.make_ctp_epoch(spec, opt, fan, use_cr=True)
+    s1 = S.init_state(jax.random.key(1), spec, opt)
+    s2 = S.init_state(jax.random.key(2), spec, opt)
+    s1e, s2e, me = e_fn(s1, s2, data, jnp.asarray(seeds), jnp.asarray(masks), key, fr)
+
+    step = S.make_ctp_step(spec, opt, fan, use_cr=True)
+    s1b = S.init_state(jax.random.key(1), spec, opt)
+    s2b = S.init_state(jax.random.key(2), spec, opt)
+    tot = 0.0
+    for i, k in enumerate(jax.random.split(key, nsteps)):
+        b = S.Batch(jnp.asarray(seeds[i]), jnp.asarray(masks[i]))
+        s1b, s2b, m = step(s1b, s2b, data, b, k, fr)
+        tot += float(m["loss_1"])
+    np.testing.assert_allclose(float(me["loss_1"]), tot, rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1e.params),
+                     jax.tree_util.tree_leaves(s1b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=1e-5)
+
+
+def test_h_epoch_matches_step_loop(tiny):
+    """make_h_epoch == iterating make_h_step with the same keys."""
+    g, data, _ = tiny
+    spec = spec_for(g, module="sageH")
+    pseudo_spec = spec_for(g, module="sage")
+    opt = optax.adam(1e-3)
+    fan = (4, 3)
+    nsteps, bs = 2, 16
+    rng = np.random.default_rng(17)
+    seeds = rng.choice(g.num_nodes, (nsteps, bs), replace=False).astype(np.int32)
+    masks = np.ones((nsteps, bs), bool)
+    fr = jnp.float32(0.2)
+    key = jax.random.key(9)
+
+    def fresh_state():
+        joint = (
+            nets.init_params(jax.random.key(1), spec),
+            nets.init_params(jax.random.key(2), spec),
+            nets.init_params(jax.random.key(3), pseudo_spec),
+        )
+        return S.TrainState(joint, opt.init(joint))
+
+    e_fn = S.make_h_epoch(spec, pseudo_spec, opt, fan, use_pseudo=True,
+                          rewire_rate=0.05)
+    se, me = e_fn(fresh_state(), data, jnp.asarray(seeds), jnp.asarray(masks),
+                  key, fr)
+
+    step = S.make_h_step(spec, pseudo_spec, opt, fan, use_pseudo=True,
+                         rewire_rate=0.05)
+    sb = fresh_state()
+    tot = 0.0
+    for i, k in enumerate(jax.random.split(key, nsteps)):
+        b = S.Batch(jnp.asarray(seeds[i]), jnp.asarray(masks[i]))
+        sb, m = step(sb, data, b, k, fr)
+        tot += float(m["loss_1"])
+    np.testing.assert_allclose(float(me["loss_1"]), tot, rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(se.params),
+                     jax.tree_util.tree_leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=1e-5)
+
+
+def test_te_epoch_matches_step_loop(tiny):
+    """make_te_epoch == iterating make_te_step with the same keys."""
+    g, data, _ = tiny
+    spec = spec_for(g, module="sagePL")
+    opt = optax.adam(1e-3)
+    fan = (4, 3)
+    nsteps, bs = 2, 16
+    rng = np.random.default_rng(19)
+    seeds = rng.choice(g.num_nodes, (nsteps, bs), replace=False).astype(np.int32)
+    masks = np.ones((nsteps, bs), bool)
+    fr = jnp.float32(0.2)
+    key = jax.random.key(11)
+    kw = dict(use_contrast=True, spl_rewire_rate=0.05)
+
+    def fresh_state():
+        p1 = nets.init_params(jax.random.key(1), spec)
+        p2 = nets.init_params(jax.random.key(2), spec)
+        return S.TrainState((p1, p2), opt.init((p1, p2)))
+
+    e_fn = S.make_te_epoch(spec, opt, fan, **kw)
+    se, me = e_fn(fresh_state(), data, jnp.asarray(seeds), jnp.asarray(masks),
+                  key, fr)
+
+    step = S.make_te_step(spec, opt, fan, **kw)
+    sb = fresh_state()
+    tot = 0.0
+    for i, k in enumerate(jax.random.split(key, nsteps)):
+        b = S.Batch(jnp.asarray(seeds[i]), jnp.asarray(masks[i]))
+        sb, m = step(sb, data, b, k, fr)
+        tot += float(m["loss_1"])
+    np.testing.assert_allclose(float(me["loss_1"]), tot, rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(se.params),
+                     jax.tree_util.tree_leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=1e-5)
+
+
+def test_contrast_epoch_matches_step_loop(tiny):
+    """make_contrast_train_epoch == iterating make_contrast_train_step."""
+    g, data, _ = tiny
+    spec = spec_for(g, module="sageFC")
+    opt = optax.adam(1e-3)
+    fan = (4, 3)
+    nsteps, bs = 2, 16
+    rng = np.random.default_rng(23)
+    cs = rng.choice(g.num_nodes, (nsteps, bs), replace=False).astype(np.int32)
+    ns = rng.choice(g.num_nodes, (nsteps, bs), replace=False).astype(np.int32)
+    cm = np.ones((nsteps, bs), bool)
+    key = jax.random.key(13)
+    views = {k: (data.x, data.csr) for k in ("orig", "edge_s", "feat_s", "large")}
+
+    e_fn = S.make_contrast_train_epoch(spec, opt, fan, lam=1.0)
+    s0 = S.init_state(jax.random.key(0), spec, opt)
+    se, me = e_fn(s0, data, views, jnp.asarray(cs), jnp.asarray(cm),
+                  jnp.asarray(ns), jnp.asarray(cm), key)
+
+    step = S.make_contrast_train_step(spec, opt, fan, lam=1.0)
+    sb = S.init_state(jax.random.key(0), spec, opt)
+    tot = 0.0
+    for i, k in enumerate(jax.random.split(key, nsteps)):
+        bc = S.Batch(jnp.asarray(cs[i]), jnp.asarray(cm[i]))
+        bn = S.Batch(jnp.asarray(ns[i]), jnp.asarray(cm[i]))
+        sb, m = step(sb, data, views, bc, bn, k)
+        tot += float(m["loss"])
+    np.testing.assert_allclose(float(me["loss"]), tot, rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(se.params),
+                     jax.tree_util.tree_leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=1e-5)
