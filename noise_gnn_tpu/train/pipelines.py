@@ -235,6 +235,46 @@ class BasePipeline:
         self.metrics.write(event=f"summary_{label}", mean=mean, std=std, runs=best_accs)
         return mean, std
 
+    def _loop_baseline(self):
+        """Plain CE / backward-correction baseline on the module_compare net
+        (reference train(), src/pipeline.py:144-173 and
+        src/pipeline_test.py:173-204 — shared by the CO/S and TE/TES A/B
+        comparisons)."""
+        c = self.config
+        spec = self.spec_for(c.get("module_compare", c["module"]))
+        epoch_fn = S.make_baseline_epoch(
+            spec, self.optimizer, self.fanouts, compare_loss=c["compare_loss"]
+        )
+        evaluate = self.make_eval(spec)
+        train_idx = self.split_idx["train"]
+        bs = int(c["batch_size"])
+        noise_mat = jnp.asarray(self.noise_mat, jnp.float32)
+        best_accs = []
+        for run in range(int(c["num_runs"])):
+            s = S.init_state(self.next_key(), spec, self.optimizer)
+            best = 0.0
+            for epoch in range(int(c["max_epochs"])):
+                seeds, masks = self.epoch_seed_matrix(train_idx, bs)
+                nb = seeds.shape[0]
+                s, agg = epoch_fn(s, self.data, seeds, masks, self.next_key(), noise_mat)
+                rec_raw = self._fetch_metrics(agg, nb)
+                acc = evaluate(s.params)
+                best = max(best, acc["test"])
+                self.metrics.write(
+                    event="epoch_baseline", run=run, epoch=epoch,
+                    loss=rec_raw["loss"],
+                    train_acc=rec_raw["correct"] * nb / train_idx.shape[0],
+                    val_acc=acc["valid"], test_acc=acc["test"],
+                )
+                if c["epoch_logger"] and not ((epoch + 1) % 10):
+                    self.logger.info(
+                        f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
+                        f"acc t: {acc['train']:.3f} v: {acc['valid']:.3f} tst: {acc['test']:.3f}"
+                    )
+            self.logger.info(f"   RUN {run + 1} - best baseline test acc: {best:.3f}")
+            best_accs.append(best)
+        return self._report_runs("baseline", best_accs)
+
 
 class PipelineCO(BasePipeline):
     """Dual-network co-teaching + CE/backward baseline, multi-run
@@ -353,43 +393,6 @@ class PipelineCO(BasePipeline):
             start_epoch = 0
         return self._report_runs("nalgo", best_accs)
 
-    def _loop_baseline(self):
-        c = self.config
-        spec = self.spec_for(c.get("module_compare", c["module"]))
-        epoch_fn = S.make_baseline_epoch(
-            spec, self.optimizer, self.fanouts, compare_loss=c["compare_loss"]
-        )
-        evaluate = self.make_eval(spec)
-        train_idx = self.split_idx["train"]
-        bs = int(c["batch_size"])
-        noise_mat = jnp.asarray(self.noise_mat, jnp.float32)
-        best_accs = []
-        for run in range(int(c["num_runs"])):
-            s = S.init_state(self.next_key(), spec, self.optimizer)
-            best = 0.0
-            for epoch in range(int(c["max_epochs"])):
-                seeds, masks = self.epoch_seed_matrix(train_idx, bs)
-                nb = seeds.shape[0]
-                s, agg = epoch_fn(s, self.data, seeds, masks, self.next_key(), noise_mat)
-                rec_raw = self._fetch_metrics(agg, nb)
-                acc = evaluate(s.params)
-                best = max(best, acc["test"])
-                self.metrics.write(
-                    event="epoch_baseline", run=run, epoch=epoch,
-                    loss=rec_raw["loss"],
-                    train_acc=rec_raw["correct"] * nb / train_idx.shape[0],
-                    val_acc=acc["valid"], test_acc=acc["test"],
-                )
-                if c["epoch_logger"] and not ((epoch + 1) % 10):
-                    self.logger.info(
-                        f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
-                        f"acc t: {acc['train']:.3f} v: {acc['valid']:.3f} tst: {acc['test']:.3f}"
-                    )
-            self.logger.info(f"   RUN {run + 1} - best baseline test acc: {best:.3f}")
-            best_accs.append(best)
-        return self._report_runs("baseline", best_accs)
-
-
 class PipelineS(PipelineCO):
     """Small-graph variant: 'small' forget schedule, labels flipped once
     (reference src/pipeline_s.py:52-53, loop at 187)."""
@@ -405,6 +408,18 @@ class PipelineTE(BasePipeline):
     schedule_variant = "ogb"
 
     def loop(self):
+        """train_type dispatch (reference src/pipeline_test.py:235,290):
+        'nalgo' / 'baseline' return that branch's (mean, std); 'both' returns
+        a dict with both."""
+        c = self.config
+        results = {}
+        if c["train_type"] in ("nalgo", "both"):
+            results["nalgo"] = self._loop_te()
+        if c["train_type"] in ("baseline", "both"):
+            results["baseline"] = self._loop_baseline()
+        return results if len(results) > 1 else next(iter(results.values()))
+
+    def _loop_te(self):
         c = self.config
         spec = self.spec_for()  # module: sagePL
         algo = "codi" if c["algo_type"] == "codi" else "coteaching"
