@@ -5,18 +5,19 @@ scatter-mean behind the reference's SAGEConv (reference
 src/models/layers/sage.py:16-19).
 
 Measured on v5e (see bench.py): XLA's scatter-add path runs a full SpMM at
-~22 M edges/s and its row gather at ~74 M rows/s; a per-edge-DMA Pallas
-gather is scalar-core bound at <1 M edges/s. The winning split is hybrid:
+~22 M edges/s, its row gather at ~150 M rows/s in stream, and a per-edge-DMA
+Pallas gather is scalar-core bound at <1 M edges/s. The winning split is
+hybrid:
 
   * the GATHER stays on XLA (`jnp.take`), emitting messages directly in
     *block-aligned dst order* (each output row-block's edges start at an
     EDGE_CHUNK-aligned offset);
-  * the SEGMENT REDUCTION is a Pallas kernel: contiguous [G, F] message
-    slabs DMA at full bandwidth and reduce via ``onehot(dst_local).T @ slab``
-    one-hot matmuls on the MXU — no scatter anywhere.
-
-Message chunks are double-buffered so the slab DMA of chunk c+1 overlaps the
-matmul of chunk c.
+  * the SEGMENT REDUCTION is a chunk-major Pallas kernel: the grid walks
+    EDGE_CHUNK message slabs (auto-pipelined [G, F] DMAs), reduces each via
+    a pre-transposed ``onehot @ slab`` matmul on the MXU, accumulates blocks
+    in a two-deep VMEM scratch ring, and flushes finished blocks to HBM with
+    explicit DMAs overlapped against the next block — scatter never appears,
+    and the output block never round-trips through HBM mid-reduction.
 
 Forward only (eval / bench); training mini-batches use the dense-tree path
 which has no scatter at all.
@@ -37,105 +38,6 @@ Array = jax.Array
 ROW_BLOCK = 256  # output rows per grid step
 EDGE_CHUNK = 1024  # edges per inner iteration (int32 1-D tile size)
 LANES = 128
-N_BUF = 2  # double buffering of message slabs
-
-
-def _reduce_kernel(
-    # scalar prefetch (rank-1: SMEM pads the last dim to 128 lanes, so a
-    # [nblocks, 2] layout would blow the 1 MB SMEM budget)
-    base_ref,  # [nblocks] int32 aligned edge base per block
-    count_ref,  # [nblocks] int32 edge count per block
-    # inputs
-    msgs_hbm,  # [E_blk, F] gathered messages in block-aligned dst order (ANY)
-    dst_hbm,  # [E_blk] int32 block-aligned dst, -1 padding (ANY)
-    deg_ref,  # [R, 1] f32 (VMEM block)
-    # output
-    out_ref,  # [R, F] f32 (VMEM block)
-    # scratch (two statically-addressed buffers: VMEM refs cannot be sliced
-    # dynamically on a leading buffer axis)
-    msg_a,  # [G, F] message slab A (VMEM)
-    msg_b,  # [G, F] message slab B (VMEM)
-    dst_a,  # [G] int32 (VMEM, 1-D = exactly one int32 tile)
-    dst_b,  # [G] int32 (VMEM)
-    acc_ref,  # [R, F] f32 (VMEM)
-    sem_a,  # DMA sems (msg, dst) for buffer A
-    sem_b,  # DMA sems for buffer B
-    *,
-    mean: bool,
-):
-    b = pl.program_id(0)
-    r0 = b * out_ref.shape[0]
-    base = base_ref[b]
-    count = count_ref[b]
-    g = msg_a.shape[0]
-    nchunks = pl.cdiv(count, g)
-
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    bufs = ((msg_a, dst_a, sem_a), (msg_b, dst_b, sem_b))
-
-    def start_chunk(c, buf):
-        msg_ref, dst_ref, sem = buf
-        off = pl.multiple_of(base + c * g, EDGE_CHUNK)
-        pltpu.make_async_copy(
-            msgs_hbm.at[pl.ds(off, g), :], msg_ref, sem.at[0]
-        ).start()
-        pltpu.make_async_copy(dst_hbm.at[pl.ds(off, g)], dst_ref, sem.at[1]).start()
-
-    def wait_and_accumulate(c, buf):
-        msg_ref, dst_ref, sem = buf
-        off = pl.multiple_of(base + c * g, EDGE_CHUNK)
-        pltpu.make_async_copy(msgs_hbm.at[pl.ds(off, g), :], msg_ref, sem.at[0]).wait()
-        pltpu.make_async_copy(dst_hbm.at[pl.ds(off, g)], dst_ref, sem.at[1]).wait()
-        # segment reduction as one-hot matmul on the MXU (padding dst = -1
-        # matches no local row, so no count mask is needed)
-        dst_local = dst_ref[:].reshape(g, 1) - r0
-        ri = jax.lax.broadcasted_iota(jnp.int32, (g, acc_ref.shape[0]), 1)
-        slab = msg_ref[:]
-        onehot = (dst_local == ri).astype(slab.dtype)
-        acc_ref[:] += jax.lax.dot_general(
-            onehot,
-            slab,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=(
-                jax.lax.Precision.HIGHEST
-                if slab.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT
-            ),
-        )
-
-    @pl.when(nchunks > 0)
-    def _():
-        start_chunk(0, bufs[0])
-
-    def chunk_body(c, _):
-        parity = jax.lax.rem(c, 2)
-
-        @pl.when((c + 1 < nchunks) & (parity == 0))
-        def _():
-            start_chunk(c + 1, bufs[1])
-
-        @pl.when((c + 1 < nchunks) & (parity == 1))
-        def _():
-            start_chunk(c + 1, bufs[0])
-
-        @pl.when(parity == 0)
-        def _():
-            wait_and_accumulate(c, bufs[0])
-
-        @pl.when(parity == 1)
-        def _():
-            wait_and_accumulate(c, bufs[1])
-
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
-
-    result = acc_ref[:]
-    if mean:
-        result = result / jnp.maximum(deg_ref[:], 1.0)
-    out_ref[:] = result
 
 
 @functools.partial(
@@ -145,48 +47,222 @@ def _spmm_call(
     x: Array,
     src_blk: Array,
     dst_blk: Array,
-    bases: Array,
-    counts: Array,
-    deg: Array,
+    blk: Array,
+    ch: Array,
+    first: Array,
+    last: Array,
+    act: Array,
     *,
     num_nodes: int,
     feat: int,
     mean: bool,
     interpret: bool = False,
 ):
-    nblocks = bases.shape[0]
-    n_pad = nblocks * ROW_BLOCK
     # XLA gather into block-aligned dst order (padding src=0 rows are
     # gathered but never matched by the -1 padding dst)
     msgs = jnp.take(x, src_blk, axis=0)
+    return _spmm_call_pregathered(
+        msgs, dst_blk, blk, ch, first, last, act,
+        num_nodes=num_nodes, feat=feat, mean=mean, interpret=interpret,
+    )
 
+
+def _chunk_maps(bases, counts, g_edges: int, g_nblocks: int):
+    """Chunk-major schedule for the grid-pipelined reduce kernel.
+
+    One entry per EDGE_CHUNK of block-aligned edge storage, in block order:
+      blk[c]   output row-block of chunk c
+      ch[c]    chunk index into the edge arrays (offset // EDGE_CHUNK)
+      first[c] 1 on a block's first chunk (kernel initializes the block)
+      last[c]  1 on a block's last chunk (kernel applies the mean divide)
+
+    Empty blocks get one dummy chunk pointing at the next block's storage
+    (clamped into range): its dst values lie outside [blk*R, (blk+1)*R), so
+    the one-hot reduction contributes nothing and the block comes out zero.
+    """
+    bases = np.asarray(bases, np.int64)
+    counts = np.asarray(counts, np.int64)
+    nchunks = np.maximum(-(-counts // EDGE_CHUNK), 1)
+    blk = np.repeat(np.arange(g_nblocks, dtype=np.int64), nchunks)
+    ends = np.cumsum(nchunks)
+    within = np.arange(int(ends[-1]), dtype=np.int64) - (ends - nchunks)[blk]
+    off = np.minimum(bases[blk] + within * EDGE_CHUNK,
+                     max(g_edges - EDGE_CHUNK, 0))
+    first = within == 0
+    last = within == nchunks[blk] - 1
+    return (
+        blk.astype(np.int32),
+        (off // EDGE_CHUNK).astype(np.int32),
+        first.astype(np.int32),
+        last.astype(np.int32),
+        np.ones(blk.shape[0], np.int32),  # act: real schedule entry
+    )
+
+
+def _pad_chunk_maps(maps, c_pad: int, g_nblocks: int):
+    """Pad a group's chunk maps to a common length with INACTIVE chunks
+    (act=0): they re-read chunk 0 but touch no accumulator, so the trailing
+    grid steps only serve as the drain point for in-flight flush DMAs."""
+    blk, ch, first, last, act = maps
+    extra = c_pad - blk.shape[0]
+    if extra <= 0:
+        return maps
+    return (
+        np.concatenate([blk, np.full(extra, g_nblocks - 1, np.int32)]),
+        np.concatenate([ch, np.zeros(extra, np.int32)]),
+        np.concatenate([first, np.zeros(extra, np.int32)]),
+        np.concatenate([last, np.zeros(extra, np.int32)]),
+        np.concatenate([act, np.zeros(extra, np.int32)]),
+    )
+
+
+def _reduce_kernel_chunked(
+    # scalar prefetch
+    blk_ref,  # [C] int32 output block per chunk
+    ch_ref,  # [C] int32 edge-chunk index per chunk (used by index maps)
+    first_ref,  # [C] int32 1 on a block's first chunk
+    last_ref,  # [C] int32 1 on a block's last chunk
+    act_ref,  # [C] int32 0 on grid-padding chunks
+    # inputs (msgs/dst auto-pipelined VMEM blocks)
+    msgs_ref,  # [G, F] gathered messages of this chunk
+    dst_ref,  # [G] int32 dst of this chunk (-1 padding)
+    # output (HBM; written by explicit flush DMAs)
+    out_hbm,  # [n_pad, F] f32
+    # scratch: block accumulators ring (parity of the block index), so the
+    # flush DMA of block b overlaps the accumulation of block b+1
+    acc_a,  # [R, F] f32
+    acc_b,  # [R, F] f32
+    cnt_a,  # [R, 1] f32 in-degree counts (mean only)
+    cnt_b,  # [R, 1] f32
+    sem_a,  # flush DMA semaphores
+    sem_b,
+    *,
+    mean: bool,
+    nblocks: int,
+):
+    c = pl.program_id(0)
+    ctot = pl.num_programs(0)
+    b = blk_ref[c]
+    r = acc_a.shape[0]
+    g = dst_ref.shape[0]
+    dst_local = dst_ref[:].reshape(1, g) - b * r
+    ri = jax.lax.broadcasted_iota(jnp.int32, (r, g), 0)
+    slab = msgs_ref[:]
+    # segment reduction as a one-hot matmul on the MXU, one-hot built
+    # pre-transposed [R, G] (out-of-block and padding dst match no row, so
+    # no masking is needed; in-degree falls out as the one-hot row sum)
+    onehot_t = (dst_local == ri).astype(slab.dtype)
+    contrib = jax.lax.dot_general(
+        onehot_t,
+        slab,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if slab.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+    cnt_c = jnp.sum(onehot_t.astype(jnp.float32), axis=1, keepdims=True)
+
+    def flush(acc, sem, blk_i):
+        return pltpu.make_async_copy(
+            acc, out_hbm.at[pl.ds(blk_i * r, r), :], sem
+        )
+
+    for par, (acc, cnt, sem) in enumerate(
+        ((acc_a, cnt_a, sem_a), (acc_b, cnt_b, sem_b))
+    ):
+        @pl.when((act_ref[c] == 1) & (jax.lax.rem(b, 2) == par))
+        def _(acc=acc, cnt=cnt, sem=sem):
+            @pl.when(first_ref[c] == 1)
+            def _():
+                # this parity's previous flush (block b-2) must finish
+                # before its accumulator is overwritten
+                if nblocks > 2:
+                    @pl.when(b >= 2)
+                    def _():
+                        flush(acc, sem, b - 2).wait()
+                acc[:] = contrib
+                if mean:
+                    cnt[:] = cnt_c
+
+            @pl.when(first_ref[c] == 0)
+            def _():
+                acc[:] += contrib
+                if mean:
+                    cnt[:] += cnt_c
+
+            @pl.when(last_ref[c] == 1)
+            def _():
+                if mean:
+                    acc[:] = acc[:] / jnp.maximum(cnt[:], 1.0)
+                flush(acc, sem, b).start()
+
+    # drain: the final grid step is always an inactive padding chunk (the
+    # schedule is padded by at least one), so every flush has been started
+    @pl.when(c == ctot - 1)
+    def _():
+        flush(acc_a, sem_a, 0).wait()
+        if nblocks >= 2:
+            flush(acc_b, sem_b, 0).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_nodes", "feat", "mean", "interpret")
+)
+def _spmm_call_pregathered(
+    msgs: Array,
+    dst_blk: Array,
+    blk: Array,
+    ch: Array,
+    first: Array,
+    last: Array,
+    act: Array,
+    *,
+    num_nodes: int,
+    feat: int,
+    mean: bool,
+    interpret: bool = False,
+):
+    """Grid-pipelined segment reduction over pre-gathered messages.
+
+    The grid is chunk-major: Pallas's automatic pipeline double-buffers each
+    chunk's [G, F] message slab DMA behind the previous chunk's one-hot
+    matmul. Blocks accumulate in a two-deep VMEM scratch ring and flush to
+    the HBM output with explicit DMAs that overlap the next block's work —
+    a BlockSpec-revisited output would round-trip the 256 KB block through
+    HBM on every chunk. Replaces a manual-DMA fori_loop kernel that was
+    ~10x off this schedule (15.4 us vs ~1.5 us per chunk on v5e)."""
+    n_pad = num_nodes
+    nblocks = n_pad // ROW_BLOCK
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nblocks,),
+        num_scalar_prefetch=5,
+        grid=(blk.shape[0],),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # msgs
-            pl.BlockSpec(memory_space=pl.ANY),  # dst
-            pl.BlockSpec((ROW_BLOCK, 1), lambda b, *_: (b, 0)),
+            pl.BlockSpec(
+                (EDGE_CHUNK, feat), lambda c, blk, ch, fi, la, ac: (ch[c], 0)
+            ),
+            pl.BlockSpec((EDGE_CHUNK,), lambda c, blk, ch, fi, la, ac: (ch[c],)),
         ],
-        out_specs=pl.BlockSpec((ROW_BLOCK, feat), lambda b, *_: (b, 0)),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((EDGE_CHUNK, feat), x.dtype),
-            pltpu.VMEM((EDGE_CHUNK, feat), x.dtype),
-            pltpu.VMEM((EDGE_CHUNK,), jnp.int32),
-            pltpu.VMEM((EDGE_CHUNK,), jnp.int32),
             pltpu.VMEM((ROW_BLOCK, feat), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ROW_BLOCK, feat), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK, 1), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_reduce_kernel, mean=mean),
+        functools.partial(_reduce_kernel_chunked, mean=mean, nblocks=nblocks),
         out_shape=jax.ShapeDtypeStruct((n_pad, feat), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(bases, counts, msgs, dst_blk, deg)
-    return out[:num_nodes]
+    )(blk, ch, first, last, act, msgs, dst_blk)
+    return out
 
 
 def blocked_edges_from_csr(indptr: np.ndarray, indices: np.ndarray):
@@ -244,8 +320,6 @@ class PallasSpmm:
         else:
             src_blk, dst_blk, block_off = blocked_edges_from_csr(indptr, indices)
         nblocks = block_off.shape[0]
-        deg = (indptr[1:] - indptr[:-1]).astype(np.float32)
-        deg = np.pad(deg, (0, nblocks * ROW_BLOCK - self.num_nodes))[:, None]
 
         alloc = -(-block_off[:, 1].astype(np.int64) // EDGE_CHUNK) * EDGE_CHUNK
         self._groups = []
@@ -262,39 +336,42 @@ class PallasSpmm:
         self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
         self._g_edges = max(e for _, _, _, e in self._groups)
 
-        self._parts = []
+        raw = []
         for b0, b1, e0, e_len in self._groups:
             nb = b1 - b0
-            bases = block_off[b0:b1, 0].astype(np.int64) - e0
-            counts = block_off[b0:b1, 1].astype(np.int32)
-            bases = np.pad(bases, (0, self._g_nblocks - nb))
-            counts = np.pad(counts, (0, self._g_nblocks - nb))
+            bases = np.pad(block_off[b0:b1, 0].astype(np.int64) - e0,
+                           (0, self._g_nblocks - nb))
+            counts = np.pad(block_off[b0:b1, 1].astype(np.int64),
+                            (0, self._g_nblocks - nb))
             src_g = np.zeros(self._g_edges, np.int32)
             dst_g = np.full(self._g_edges, -1, np.int32)
             src_g[:e_len] = src_blk[e0 : e0 + e_len]
             dst_g[:e_len] = dst_blk[e0 : e0 + e_len] - b0 * ROW_BLOCK
-            deg_g = deg[b0 * ROW_BLOCK : b0 * ROW_BLOCK + self._g_nblocks * ROW_BLOCK]
-            deg_g = np.pad(deg_g, ((0, self._g_nblocks * ROW_BLOCK - deg_g.shape[0]), (0, 0)))
-            self._parts.append(
-                (
-                    jnp.asarray(src_g),
-                    jnp.asarray(dst_g),
-                    jnp.asarray(bases.astype(np.int32)),
-                    jnp.asarray(counts),
-                    jnp.asarray(deg_g),
-                )
+            maps = _chunk_maps(bases, counts, self._g_edges, self._g_nblocks)
+            raw.append((src_g, dst_g, maps))
+
+        # +1 guarantees a trailing inactive chunk = the kernel's DMA drain
+        c_pad = max(m[2][0].shape[0] for m in raw) + 1
+        self._parts = [
+            (
+                jnp.asarray(src_g),
+                jnp.asarray(dst_g),
+                tuple(jnp.asarray(a) for a in
+                      _pad_chunk_maps(maps, c_pad, self._g_nblocks)),
             )
+            for src_g, dst_g, maps in raw
+        ]
 
     def __call__(self, x: Array, mean: bool = True, interpret: bool = False) -> Array:
         n, f = x.shape
         assert n == self.num_nodes and f % LANES == 0
         outs = []
-        for (b0, b1, _, _), (src_g, dst_g, bases, counts, deg_g) in zip(
+        for (b0, b1, _, _), (src_g, dst_g, maps) in zip(
             self._groups, self._parts
         ):
             rows = min(b1 * ROW_BLOCK, self.num_nodes) - b0 * ROW_BLOCK
             out = _spmm_call(
-                x, src_g, dst_g, bases, counts, deg_g,
+                x, src_g, dst_g, *maps,
                 num_nodes=self._g_nblocks * ROW_BLOCK, feat=f, mean=mean,
                 interpret=interpret,
             )
@@ -370,12 +447,13 @@ class PallasSpmmDevice:
         self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
         self._g_edges = max(e for _, _, _, e in self._groups)
 
-        self._parts = []
+        raw = []
         for b0, b1, e0, e_len in self._groups:
             nb = b1 - b0
             g_bases = np.pad(bases[b0:b1].astype(np.int64) - e0,
                              (0, self._g_nblocks - nb))
-            g_counts = np.pad(counts[b0:b1], (0, self._g_nblocks - nb))
+            g_counts = np.pad(counts[b0:b1].astype(np.int64),
+                              (0, self._g_nblocks - nb))
             # device-side slice + pad (no host round-trip of edge data)
             src_g = jax.lax.dynamic_slice_in_dim(
                 jnp.pad(src_blk, (0, self._g_edges)), e0, self._g_edges
@@ -387,12 +465,17 @@ class PallasSpmmDevice:
             # mask out edges beyond this group's real extent
             idx = jnp.arange(self._g_edges)
             dst_g = jnp.where(idx < e_len, dst_g - b0 * ROW_BLOCK, -1)
-            deg_g = deg[b0 * ROW_BLOCK : b0 * ROW_BLOCK + self._g_nblocks * ROW_BLOCK]
-            deg_g = np.pad(deg_g, ((0, self._g_nblocks * ROW_BLOCK - deg_g.shape[0]), (0, 0)))
-            self._parts.append(
-                (src_g, dst_g, jnp.asarray(g_bases.astype(np.int32)),
-                 jnp.asarray(g_counts), jnp.asarray(deg_g))
-            )
+            maps = _chunk_maps(g_bases, g_counts, self._g_edges, self._g_nblocks)
+            raw.append((src_g, dst_g, maps))
+
+        # +1 guarantees a trailing inactive chunk = the kernel's DMA drain
+        c_pad = max(m[2][0].shape[0] for m in raw) + 1
+        self._parts = [
+            (src_g, dst_g,
+             tuple(jnp.asarray(a) for a in
+                   _pad_chunk_maps(maps, c_pad, self._g_nblocks)))
+            for src_g, dst_g, maps in raw
+        ]
 
     __call__ = PallasSpmm.__call__
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..eval.metrics import confusion_matrix, evaluate_splits
+from ..eval.metrics import confusion_matrix
 from ..graph.datasets import load_network
 from ..losses.schedules import forget_rate_schedule
 from ..models import nets
@@ -171,7 +171,34 @@ class BasePipeline:
             mask = np.concatenate([np.ones(chunk.shape[0], bool), np.zeros(pad, bool)])
             yield S.Batch(jnp.asarray(seeds), jnp.asarray(mask))
 
+    def _split_accuracy_fn(self):
+        """Device-side split accuracy: ONE tiny [3] fetch per evaluation.
+
+        ``evaluate_splits`` pulls the whole [N] argmax to the host — ~10 MB
+        per eval on products, through a ~10-20 MB/s dev-tunnel link, twice
+        per epoch. Computing masked correct-counts on device reduces the
+        round-trip to 12 bytes."""
+        parts = list(self.split_idx)
+        n = self.graph.num_nodes
+        masks = jnp.stack([
+            jnp.zeros(n, bool).at[jnp.asarray(self.split_idx[p])].set(True)
+            for p in parts
+        ])
+        sizes = [max(int(self.split_idx[p].shape[0]), 1) for p in parts]
+
+        @jax.jit
+        def _counts(logits, y, masks):
+            ok = jnp.argmax(logits, axis=-1) == y
+            return jnp.sum(ok[None, :] & masks, axis=1)
+
+        def accs(logits):
+            vals = np.asarray(_counts(logits, self.data.y, masks))
+            return {p: float(v) / c for p, v, c in zip(parts, vals, sizes)}
+
+        return accs
+
     def make_eval(self, spec):
+        accs = self._split_accuracy_fn()
         if spec.module in ("sage", "gcn", "sageH", "sageFC", "sagePL"):
             # stack-only inference; picks the Pallas SpMM backend for
             # many-edge graphs on TPU (eval/inference.py)
@@ -190,16 +217,14 @@ class BasePipeline:
             )
 
             def evaluate(params):
-                logits = infer(params, self.data.x)
-                return evaluate_splits(logits, self.graph.y, self.split_idx)
+                return accs(infer(params, self.data.x))
 
             return evaluate
 
         eval_fn = S.make_eval_fn(spec)
 
         def evaluate(params):
-            logits = eval_fn(params, self.data.x, self._full_edge_index)
-            return evaluate_splits(logits, self.graph.y, self.split_idx)
+            return accs(eval_fn(params, self.data.x, self._full_edge_index))
 
         return evaluate
 
@@ -227,7 +252,13 @@ class BasePipeline:
 
     @staticmethod
     def _fetch_metrics(agg, nb):
-        return {k: float(v) / nb for k, v in agg.items()} if agg else {}
+        """One stacked device->host transfer for the whole metrics dict
+        (per-scalar float() costs a full tunnel round-trip each)."""
+        if not agg:
+            return {}
+        keys = list(agg)
+        vals = np.asarray(jnp.stack([agg[k] for k in keys]))
+        return {k: float(v) / nb for k, v in zip(keys, vals)}
 
     def _report_runs(self, label: str, best_accs: list[float]):
         mean, std = float(np.mean(best_accs)), float(np.std(best_accs, ddof=1) if len(best_accs) > 1 else 0.0)
