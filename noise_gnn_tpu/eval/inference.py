@@ -23,7 +23,7 @@ import numpy as np
 
 from ..models.nets import NetSpec
 from ..ops.pallas_spmm import LANES, PallasSpmm
-from ..ops.scatter import gather_scatter_mean, gather_scatter_sum
+from ..ops.scatter import gather_scatter_max, gather_scatter_mean, gather_scatter_sum
 
 Array = jax.Array
 
@@ -58,6 +58,8 @@ class FullGraphInference:
         if backend == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             backend = "pallas" if (on_tpu and n_edges >= 4_000_000) else "xla"
+        if spec.aggr == "max":
+            backend = "xla"  # the Pallas one-hot-matmul reduce is sum/mean only
         self.backend = backend
         if csr is not None:
             indptr_np = np.asarray(indptr_np, np.int64)
@@ -107,7 +109,10 @@ class FullGraphInference:
                 agg = self._agg(x, mean=False) + x
                 x = agg @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
             else:
-                agg = self._agg(x, mean=True)
+                if spec.aggr == "max":
+                    agg = gather_scatter_max(x, self._edge_index, self.num_nodes)
+                else:
+                    agg = self._agg(x, mean=True)
                 x = (
                     agg @ p["w_neigh"].astype(x.dtype)
                     + x @ p["w_root"].astype(x.dtype)

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.scatter import gather_scatter_mean, gather_scatter_sum
+from ..ops.scatter import gather_scatter_max, gather_scatter_mean, gather_scatter_sum
 
 Array = jax.Array
 
@@ -64,10 +64,17 @@ def sage_conv(
     edge_index: Array,
     num_nodes: int | None = None,
     edge_mask: Array | None = None,
+    aggr: str = "mean",
 ) -> Array:
-    """Edge-list SAGEConv. edge_index [2, E], messages src -> dst."""
+    """Edge-list SAGEConv. edge_index [2, E], messages src -> dst.
+
+    aggr 'mean' is the reference's PyG default (sage.py:16); 'max' matches
+    SAGEConv(aggr='max') semantics (isolated nodes aggregate to 0)."""
     n = num_nodes if num_nodes is not None else x.shape[0]
-    agg = gather_scatter_mean(x, edge_index, n, edge_mask)
+    if aggr == "max":
+        agg = gather_scatter_max(x, edge_index, n, edge_mask)
+    else:
+        agg = gather_scatter_mean(x, edge_index, n, edge_mask)
     out = agg @ params["w_neigh"].astype(x.dtype) + x[:n] @ params["w_root"].astype(x.dtype)
     return out + params["b"].astype(x.dtype)
 
@@ -77,15 +84,21 @@ def sage_conv_tree(
     x_self: Array,  # [N, F]
     x_neigh: Array,  # [N, K, F]
     neigh_mask: Array,  # [N, K] bool
+    aggr: str = "mean",
 ) -> Array:
-    """Dense-tree SAGEConv: mean over the sampled-neighbor axis.
+    """Dense-tree SAGEConv: mean/max over the sampled-neighbor axis.
 
     Matmul-first order: aggregate raw features then one matmul each for the
     neighbor and root paths (same math, fewer flops than per-neighbor matmul).
     """
-    m = neigh_mask.astype(x_neigh.dtype)[..., None]
-    count = jnp.maximum(m.sum(axis=1), 1.0)
-    agg = (x_neigh * m).sum(axis=1) / count
+    if aggr == "max":
+        neg = jnp.array(-jnp.inf, x_neigh.dtype)
+        agg = jnp.max(jnp.where(neigh_mask[..., None], x_neigh, neg), axis=1)
+        agg = jnp.where(jnp.isfinite(agg), agg, 0)
+    else:
+        m = neigh_mask.astype(x_neigh.dtype)[..., None]
+        count = jnp.maximum(m.sum(axis=1), 1.0)
+        agg = (x_neigh * m).sum(axis=1) / count
     out = agg @ params["w_neigh"].astype(x_self.dtype) + x_self @ params["w_root"].astype(
         x_self.dtype
     )

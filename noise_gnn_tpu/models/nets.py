@@ -60,6 +60,7 @@ class NetSpec:
     use_bn: bool = False
     nbr_nodes: int = 1  # for sagePL's per-node noise parameter
     proj_size: int = 128  # sageFC projection head width
+    aggr: str = "mean"  # SAGE neighbor aggregation: 'mean' (PyG default) | 'max'
     # mixed precision: cast activations to this dtype for the conv stack
     # (params stay f32; layers cast weights to the activation dtype; outputs
     # are returned in f32 for numerically-safe losses)
@@ -86,6 +87,7 @@ def make_network(config: dict, in_size: int, out_size: int, nbr_nodes: int = 1) 
         use_bn=bool(config.get("use_bn", False)),
         nbr_nodes=nbr_nodes,
         compute_dtype=str(config.get("compute_dtype", "float32")),
+        aggr=str(config.get("aggr", "mean")),
     )
 
 
@@ -138,13 +140,13 @@ def _l2_normalize_rows(v: Array, eps: float = 1e-12) -> Array:
 def _conv(spec: NetSpec, p: dict, x, edge_index, num_nodes, edge_mask):
     if spec.module == "gcn":
         return gcn_conv(p, x, edge_index, num_nodes, edge_mask)
-    return sage_conv(p, x, edge_index, num_nodes, edge_mask)
+    return sage_conv(p, x, edge_index, num_nodes, edge_mask, aggr=spec.aggr)
 
 
 def _conv_tree(spec: NetSpec, p: dict, x_self, x_neigh, mask):
     if spec.module == "gcn":
         return gcn_conv_tree(p, x_self, x_neigh, mask)
-    return sage_conv_tree(p, x_self, x_neigh, mask)
+    return sage_conv_tree(p, x_self, x_neigh, mask, aggr=spec.aggr)
 
 
 # ------------------------------------------------------- edge-list forward

@@ -7,6 +7,7 @@ scatter-mean message passing, the C++ fanout neighbor sampler behind
 """
 
 from .scatter import (
+    gather_scatter_max,
     segment_sum,
     segment_mean,
     segment_max,
@@ -18,6 +19,7 @@ from .sampler import sample_khop_tree, TreeBatch
 from .sddmm import sddmm_cosine, blockwise_topk
 
 __all__ = [
+    "gather_scatter_max",
     "segment_sum",
     "segment_mean",
     "segment_max",

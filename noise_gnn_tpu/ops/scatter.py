@@ -134,6 +134,39 @@ def gather_scatter_mean(
     return (total.astype(jnp.float32) / jnp.maximum(count, 1.0)[:, None]).astype(x.dtype)
 
 
+def gather_scatter_max(
+    x: Array, edge_index: Array, num_nodes: int, edge_mask: Array | None = None
+) -> Array:
+    """out[i] = max_{(j -> i) in E} x[j]; 0 for isolated nodes (PyG
+    MaxAggregation semantics behind SAGEConv(aggr='max'))."""
+    src, dst = edge_index[0], edge_index[1]
+    src, dst, _ = _apply_edge_mask(src, dst, edge_mask, num_nodes)
+    if src.shape[0] * x.shape[1] > _CHUNK_THRESHOLD_ELEMS:
+        return _chunked_scatter_max(x, src, dst, num_nodes)
+    msgs = jnp.take(x, src, axis=0)
+    out = jax.ops.segment_max(msgs, dst, num_segments=num_nodes + 1)[:num_nodes]
+    return jnp.where(jnp.isfinite(out), out, 0)
+
+
+def _chunked_scatter_max(x: Array, src: Array, dst: Array, num_nodes: int) -> Array:
+    """fori_loop over edge chunks: acc.at[dst_chunk].max(x[src_chunk])."""
+    e = src.shape[0]
+    chunk = min(_EDGE_CHUNK, e)
+    nchunks = -(-e // chunk)
+    pad = nchunks * chunk - e
+    src_p = jnp.concatenate([src, jnp.zeros((pad,), src.dtype)])
+    dst_p = jnp.concatenate([dst, jnp.full((pad,), num_nodes, dst.dtype)])
+
+    def body(i, acc):
+        s = jax.lax.dynamic_slice_in_dim(src_p, i * chunk, chunk)
+        d = jax.lax.dynamic_slice_in_dim(dst_p, i * chunk, chunk)
+        return acc.at[d].max(jnp.take(x, s, axis=0))
+
+    acc = jnp.full((num_nodes + 1, x.shape[1]), -jnp.inf, x.dtype)
+    acc = jax.lax.fori_loop(0, nchunks, body, acc)
+    return jnp.where(jnp.isfinite(acc[:num_nodes]), acc[:num_nodes], 0)
+
+
 def degree(edge_index: Array, num_nodes: int, edge_mask: Array | None = None, axis: int = 1) -> Array:
     """In-degree (axis=1, default) or out-degree (axis=0) per node."""
     ids = edge_index[axis]

@@ -240,6 +240,7 @@ class BasePipeline:
             use_bn=bool(c.get("use_bn", False)),
             nbr_nodes=c["nbr_nodes"],
             compute_dtype=str(c.get("compute_dtype", "float32")),
+            aggr=str(c.get("aggr", "mean")),
         )
 
     @staticmethod

@@ -122,6 +122,8 @@ def validate_config(cfg: dict) -> None:
     fan = cfg["nbr_neighbors"]
     if not isinstance(fan, (list, tuple)) or not all(int(f) > 0 for f in fan):
         raise ValueError("nbr_neighbors must be a list of positive ints")
+    if str(cfg.get("aggr", "mean")) not in ("mean", "max"):
+        raise ValueError("aggr must be 'mean' or 'max'")
 
 
 def run_name(cfg: dict) -> str:

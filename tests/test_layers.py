@@ -120,3 +120,59 @@ def test_dropout_scaling():
     assert 0.4 < frac < 0.6
     np.testing.assert_allclose(float(np.asarray(y).max()), 2.0)
     np.testing.assert_allclose(np.asarray(L.dropout(key, x, 0.5, False)), np.asarray(x))
+
+
+def test_sage_conv_max_aggregation():
+    """SAGEConv(aggr='max') parity: out = max_neigh @ W_l + b + x @ W_r
+    (BASELINE.json north star lists GraphSAGE mean/max convolutions)."""
+    rng = np.random.default_rng(7)
+    n, fi, fo = 9, 4, 3
+    x = rng.standard_normal((n, fi)).astype(np.float32)
+    ei = np.asarray([[0, 1, 2, 3, 4, 1], [1, 2, 3, 4, 0, 0]], np.int32)
+    p = L.sage_conv_init(jax.random.key(0), fi, fo)
+    got = np.asarray(L.sage_conv(p, jnp.asarray(x), jnp.asarray(ei), aggr="max"))
+    agg = np.zeros((n, fi), np.float32)
+    for i in range(n):
+        srcs = ei[0][ei[1] == i]
+        if srcs.size:
+            agg[i] = x[srcs].max(axis=0)
+    want = agg @ np.asarray(p["w_neigh"]) + x @ np.asarray(p["w_root"]) + np.asarray(p["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sage_conv_tree_max_matches_manual():
+    rng = np.random.default_rng(8)
+    n, k, fi, fo = 6, 4, 5, 3
+    x_self = rng.standard_normal((n, fi)).astype(np.float32)
+    x_neigh = rng.standard_normal((n, k, fi)).astype(np.float32)
+    mask = rng.random((n, k)) > 0.4
+    mask[0] = False  # isolated node -> aggregates to 0
+    p = L.sage_conv_init(jax.random.key(1), fi, fo)
+    got = np.asarray(
+        L.sage_conv_tree(p, jnp.asarray(x_self), jnp.asarray(x_neigh),
+                         jnp.asarray(mask), aggr="max")
+    )
+    agg = np.zeros((n, fi), np.float32)
+    for i in range(n):
+        if mask[i].any():
+            agg[i] = x_neigh[i][mask[i]].max(axis=0)
+    want = agg @ np.asarray(p["w_neigh"]) + x_self @ np.asarray(p["w_root"]) + np.asarray(p["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_max_aggr_full_stack():
+    """aggr='max' threads through NetSpec apply / apply_tree / inference."""
+    from noise_gnn_tpu.eval.inference import FullGraphInference
+    from noise_gnn_tpu.graph.datasets import synthetic_graph
+
+    g = synthetic_graph(120, 8, 3, 700, seed=5)
+    spec = nets.NetSpec(module="sage", in_size=8, hidden_size=16, out_size=3,
+                        num_layers=2, dropout=0.0, aggr="max")
+    params = nets.init_params(jax.random.key(0), spec)
+    x = jnp.asarray(g.x)
+    ei = jnp.asarray(g.edge_index)
+    logits = nets.apply(spec, params, x, ei)["logits"]
+    infer = FullGraphInference(spec, g.edge_index, g.num_nodes)
+    got = infer(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(logits),
+                               rtol=1e-4, atol=1e-4)
