@@ -23,18 +23,21 @@ def forget_rate_schedule(
     warmup: int | None = None,
     variant: str = "ogb",
 ) -> np.ndarray:
+    # runs shorter than the ramp keep the ramp's shape, truncated (the
+    # reference's slice assignment would crash when max_epochs < ct_tk)
+    tk = min(ct_tk, max_epochs)
     if variant == "ogb":
         sched = np.ones(max_epochs) * noise_rate * ct_tau
-        sched[:ct_tk] = np.linspace(0, noise_rate**ct_exp, ct_tk)
+        sched[:tk] = np.linspace(0, noise_rate**ct_exp, ct_tk)[:tk]
     elif variant == "small":
         sched = np.ones(max_epochs) * noise_rate * ct_tau
-        sched[:ct_tk] = np.linspace(0, noise_rate * ct_tau, ct_tk)
+        sched[:tk] = np.linspace(0, noise_rate * ct_tau, ct_tk)[:tk]
     elif variant == "contrast":
         if warmup is None:
             raise ValueError("'contrast' schedule needs warmup")
         sched = np.ones(max_epochs)
-        sched[:ct_tk] = np.linspace(0, noise_rate, ct_tk)
-        sched[ct_tk:warmup] = sched[ct_tk:warmup] * noise_rate * ct_tau
+        sched[:tk] = np.linspace(0, noise_rate, ct_tk)[:tk]
+        sched[tk:warmup] = sched[tk:warmup] * noise_rate * ct_tau
     else:
         raise ValueError(f"unknown schedule variant {variant!r}")
     return sched.astype(np.float32)

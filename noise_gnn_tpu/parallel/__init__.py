@@ -14,16 +14,23 @@ no collectives anywhere). This package supplies the TPU-native scaling story:
 
 from .mesh import make_mesh, param_sharding, replicated, batch_sharding
 from .multihost import initialize as distributed_initialize, process_info
-from .dp import make_dp_ct_step, shard_batch
-from .partition import partitioned_spmm_sum, partitioned_spmm_mean, shard_edges
+from .dp import make_dp_ct_epoch, make_dp_ct_step, shard_batch
+from .partition import (
+    make_partitioned_inference,
+    partitioned_spmm_mean,
+    partitioned_spmm_sum,
+    shard_edges,
+)
 
 __all__ = [
     "make_mesh",
     "param_sharding",
     "replicated",
     "batch_sharding",
+    "make_dp_ct_epoch",
     "make_dp_ct_step",
     "shard_batch",
+    "make_partitioned_inference",
     "partitioned_spmm_sum",
     "partitioned_spmm_mean",
     "shard_edges",

@@ -26,6 +26,30 @@ def shard_batch(batch: Batch, mesh) -> Batch:
     return Batch(jax.device_put(batch.seeds, bs), jax.device_put(batch.mask, bs))
 
 
+def make_dp_ct_epoch(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    mesh,
+    algo: str = "coteaching",
+    co_lambda: float = 0.1,
+):
+    """Whole-epoch DP driver: the single-chip lax.scan epoch (steps.py)
+    compiled with the per-step seed batch dimension sharded over ``data``.
+    GSPMD inserts the gradient all-reduce per scan step; states, graph data
+    and metrics stay replicated."""
+    from ..train.steps import ct_epoch_fn
+
+    rep = replicated(mesh)
+    seed_sh = NamedSharding(mesh, P(None, "data"))  # [nsteps, B] -> shard B
+    return functools.partial(
+        jax.jit,
+        donate_argnums=(0, 1),
+        in_shardings=(rep, rep, rep, seed_sh, seed_sh, rep, rep),
+        out_shardings=(rep, rep, rep),
+    )(ct_epoch_fn(spec, optimizer, fanouts, algo, co_lambda))
+
+
 def make_dp_ct_step(
     spec: nets.NetSpec,
     optimizer,

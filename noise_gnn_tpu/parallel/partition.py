@@ -57,6 +57,41 @@ def partitioned_spmm_sum(mesh, x, edge_index, edge_mask, num_nodes: int):
     return run(x, edge_index, edge_mask)
 
 
+def make_partitioned_inference(mesh, spec, edge_index: np.ndarray, num_nodes: int):
+    """Distributed full-graph inference: the SAGE/GCN conv stack with every
+    aggregation running as an edge-partitioned SpMM over the mesh — the
+    TPU replacement for the reference's host-staged layer-wise eval loop
+    (src/models/layers/sage.py:42-58), with no host round-trip and the
+    edge work split across devices.
+
+    Returns ``infer(params, x) -> logits``; edges are padded/sharded once
+    at build time."""
+    ei, mask = shard_edges(np.asarray(edge_index), mesh.devices.size)
+    ei_dev = jax.device_put(ei, jax.NamedSharding(mesh, P(None, "data")))
+    mask_dev = jax.device_put(mask, jax.NamedSharding(mesh, P("data")))
+    is_gcn = spec.module == "gcn"
+
+    def infer(params, x):
+        if spec.compute_dtype != "float32":
+            x = x.astype(jnp.dtype(spec.compute_dtype))
+        for i, p in enumerate(params["convs"]):
+            if is_gcn:
+                agg = partitioned_spmm_sum(mesh, x, ei_dev, mask_dev, num_nodes) + x
+                x = agg @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+            else:
+                agg = partitioned_spmm_mean(mesh, x, ei_dev, mask_dev, num_nodes)
+                x = (
+                    agg @ p["w_neigh"].astype(x.dtype)
+                    + x @ p["w_root"].astype(x.dtype)
+                    + p["b"].astype(x.dtype)
+                )
+            if i != spec.num_layers - 1:
+                x = jax.nn.relu(x)
+        return x.astype(jnp.float32)
+
+    return infer
+
+
 def partitioned_spmm_mean(mesh, x, edge_index, edge_mask, num_nodes: int):
     @functools.partial(
         shard_map,

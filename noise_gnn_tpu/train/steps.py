@@ -99,21 +99,16 @@ def _acc_count(logits, y_true, mask):
 # ------------------------------------------------------------ co-teaching
 
 
-def make_ct_epoch(
+def ct_epoch_fn(
     spec: nets.NetSpec,
     optimizer,
     fanouts: tuple[int, ...],
     algo: str = "coteaching",
     co_lambda: float = 0.1,
 ):
-    """Whole-epoch co-teaching driver: lax.scan over the seed batches inside
-    ONE jit. Removes per-step host dispatch entirely (measured ~3 ms/step
-    through the dev tunnel; a products epoch has ~1300 steps).
+    """Raw (un-jitted) whole-epoch co-teaching function — jitted plain by
+    make_ct_epoch, or with mesh shardings by parallel.dp.make_dp_ct_epoch."""
 
-    seeds/masks: [nsteps, B]; returns summed metrics (host divides by
-    nsteps)."""
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch(
         s1: TrainState,
         s2: TrainState,
@@ -179,6 +174,24 @@ def make_ct_epoch(
         return s1, s2, metrics
 
     return epoch
+
+
+def make_ct_epoch(
+    spec: nets.NetSpec,
+    optimizer,
+    fanouts: tuple[int, ...],
+    algo: str = "coteaching",
+    co_lambda: float = 0.1,
+):
+    """Whole-epoch co-teaching driver: lax.scan over the seed batches inside
+    ONE jit. Removes per-step host dispatch entirely (measured ~3 ms/step
+    through the dev tunnel; a products epoch has ~1300 steps).
+
+    seeds/masks: [nsteps, B]; returns summed metrics (host divides by
+    nsteps)."""
+    return functools.partial(jax.jit, donate_argnums=(0, 1))(
+        ct_epoch_fn(spec, optimizer, fanouts, algo, co_lambda)
+    )
 
 
 def make_ct_step(

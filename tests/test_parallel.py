@@ -107,3 +107,53 @@ def test_tp_mesh_param_sharding(tiny):
     logits = nets.apply(spec, placed, data.x, jnp.asarray(g.edge_index))["logits"]
     want = nets.apply(spec, params, data.x, jnp.asarray(g.edge_index))["logits"]
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_dp_epoch_matches_single_device(tiny):
+    """Whole-epoch DP scan == plain whole-epoch scan (same keys/batches)."""
+    from noise_gnn_tpu.parallel import make_dp_ct_epoch
+
+    g, data = tiny
+    spec = nets.NetSpec(module="sage", in_size=g.num_features, hidden_size=16,
+                        out_size=g.num_classes, num_layers=2, dropout=0.0)
+    opt = optax.adam(1e-2)
+    mesh = make_mesh()
+    nsteps, bs = 2, 32
+    rng = np.random.default_rng(5)
+    seeds = rng.choice(g.num_nodes, (nsteps, bs), replace=False).astype(np.int32)
+    masks = np.ones((nsteps, bs), bool)
+    key = jax.random.key(3)
+    fr = jnp.float32(0.2)
+
+    def fresh():
+        return (S.init_state(jax.random.key(1), spec, opt),
+                S.init_state(jax.random.key(2), spec, opt))
+
+    e_dp = make_dp_ct_epoch(spec, opt, (4, 3), mesh)
+    s1d, s2d, md = e_dp(*fresh(), data, jnp.asarray(seeds), jnp.asarray(masks), key, fr)
+
+    e_1 = S.make_ct_epoch(spec, opt, (4, 3))
+    s1p, s2p, mp = e_1(*fresh(), data, jnp.asarray(seeds), jnp.asarray(masks), key, fr)
+
+    np.testing.assert_allclose(float(md["loss_1"]), float(mp["loss_1"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1d.params),
+                    jax.tree_util.tree_leaves(s1p.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+
+def test_partitioned_inference_matches_apply(tiny):
+    """Distributed full-graph inference == single-device edge-list forward."""
+    from noise_gnn_tpu.parallel import make_partitioned_inference
+
+    g, data = tiny
+    mesh = make_mesh()
+    for module in ("sage", "gcn"):
+        spec = nets.NetSpec(module=module, in_size=g.num_features,
+                            hidden_size=16, out_size=g.num_classes,
+                            num_layers=2, dropout=0.0)
+        params = nets.init_params(jax.random.key(7), spec)
+        infer = make_partitioned_inference(mesh, spec, g.edge_index, g.num_nodes)
+        got = infer(params, data.x)
+        want = nets.apply(spec, params, data.x, jnp.asarray(g.edge_index))["logits"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
