@@ -157,18 +157,30 @@ def load_network(config: dict) -> Graph:
         g = _load_npz(npz, name)
     else:
         scale = max(int(config.get("synthetic_scale", 1)), 1)
-        # floor of 64 nodes/class so the reference's per-class split quotas
-        # (20 train + 30 val) always leave a non-empty test set
-        g = synthetic_graph(
-            max(prof.num_nodes // scale, 64 * prof.num_classes),
-            max(prof.num_features // scale, 16),
-            prof.num_classes,
-            max(prof.num_edges // scale, 512),
-            homophily=prof.homophily,
-            seed=seed,
-            feature_noise=prof.feature_noise,
-            name=name,
+        # generation cache: products-scale synthesis costs ~100 s of host
+        # time per run; the graph is deterministic in (name, seed, scale)
+        gen_cache = os.path.join(
+            data_dir, "synthetic", f"{name}_seed{seed}_scale{scale}.npz"
         )
+        if os.path.exists(gen_cache):
+            g = _load_npz(gen_cache, name)
+            g = g.replace(num_classes=prof.num_classes)
+        else:
+            # floor of 64 nodes/class so the reference's per-class split
+            # quotas (20 train + 30 val) always leave a non-empty test set
+            g = synthetic_graph(
+                max(prof.num_nodes // scale, 64 * prof.num_classes),
+                max(prof.num_features // scale, 16),
+                prof.num_classes,
+                max(prof.num_edges // scale, 512),
+                homophily=prof.homophily,
+                seed=seed,
+                feature_noise=prof.feature_noise,
+                name=name,
+            )
+            if g.num_nodes >= 500_000:  # only worth the disk for big graphs
+                os.makedirs(os.path.dirname(gen_cache), exist_ok=True)
+                np.savez(gen_cache, x=g.x, y=g.y, edge_index=g.edge_index)
 
     if name == "ogbn-arxiv":
         g = g.to_undirected()

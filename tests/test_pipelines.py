@@ -117,3 +117,13 @@ def test_pipeline_grid(tmp_path):
     res = PipelineSG(cfg).loop()
     assert len(res) == 2
     assert res[0]["acc"] >= res[1]["acc"]
+
+
+def test_determinism_same_seed_same_run(tmp_path):
+    """seed is real here (the reference's seed key is never applied,
+    SURVEY §7.3 item 9): identical configs => identical results."""
+    r1 = PipelineS(tiny_config(tmp_path, train_type="nalgo", seed=7)).loop()
+    r2 = PipelineS(tiny_config(tmp_path, train_type="nalgo", seed=7)).loop()
+    assert r1 == r2
+    r3 = PipelineS(tiny_config(tmp_path, train_type="nalgo", seed=8)).loop()
+    assert r3 != r1  # different seed takes a different trajectory

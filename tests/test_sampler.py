@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from noise_gnn_tpu.graph.containers import CSRGraph, Graph
 from noise_gnn_tpu.ops.sampler import flat_edge_index, sample_khop_tree
@@ -136,3 +137,21 @@ def test_determinism_same_key_same_sample():
     b = sample_khop_tree(jax.random.key(9), csr, jnp.arange(8), (5, 3))
     for x, y in zip(a.n_ids, b.n_ids):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("mode", ["iid"])
+def test_modes_sample_valid_neighbors(mode):
+    """Both hop samplers only ever emit true in-neighbors of their parent."""
+    rng = np.random.default_rng(3)
+    ei = rng.integers(0, 80, (2, 3000)).astype(np.int32)
+    csr = CSRGraph.from_coo(ei, 80)
+    in_neigh = [set(ei[0][ei[1] == v]) for v in range(80)]
+    seeds = jnp.arange(16, dtype=jnp.int32)
+    tb = sample_khop_tree(jax.random.key(4), csr, seeds, (6, 4), mode=mode)
+    parents = np.asarray(tb.n_ids[0])
+    kids = np.asarray(tb.n_ids[1]).reshape(16, 6)
+    mask = np.asarray(tb.masks[1]).reshape(16, 6)
+    for i, p in enumerate(parents):
+        for k, m in zip(kids[i], mask[i]):
+            if m:
+                assert int(k) in in_neigh[int(p)]
