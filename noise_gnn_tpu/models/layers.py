@@ -105,6 +105,15 @@ def sage_conv_tree(
     return out + params["b"].astype(x_self.dtype)
 
 
+def sage_conv_pre(params: dict, x_self: Array, agg: Array) -> Array:
+    """SAGEConv from an already-aggregated neighbor feature (exact-leaf path,
+    ops/leaf_agg.py): out = agg @ W_l + x_self @ W_r + b."""
+    out = agg @ params["w_neigh"].astype(x_self.dtype) + x_self @ params[
+        "w_root"
+    ].astype(x_self.dtype)
+    return out + params["b"].astype(x_self.dtype)
+
+
 # ----------------------------------------------------------------- GCNConv
 
 
@@ -137,6 +146,14 @@ def gcn_conv_tree(
     m = neigh_mask.astype(x_neigh.dtype)[..., None]
     agg = (x_neigh * m).sum(axis=1) + x_self
     return agg @ params["w"].astype(x_self.dtype) + params["b"].astype(x_self.dtype)
+
+
+def gcn_conv_pre(params: dict, x_self: Array, agg: Array) -> Array:
+    """GCNConv(normalize=False) from a precomputed neighbor SUM (exact-leaf
+    path): out = (agg + x_self) @ W + b (self-loop kept explicit)."""
+    return (agg + x_self) @ params["w"].astype(x_self.dtype) + params["b"].astype(
+        x_self.dtype
+    )
 
 
 # ---------------------------------------------------------------- dropout

@@ -28,6 +28,7 @@ from .layers import (
     dropout,
     gcn_conv,
     gcn_conv_init,
+    gcn_conv_pre,
     gcn_conv_tree,
     glorot,
     linear,
@@ -36,6 +37,7 @@ from .layers import (
     prelu_init,
     sage_conv,
     sage_conv_init,
+    sage_conv_pre,
     sage_conv_tree,
 )
 
@@ -147,6 +149,12 @@ def _conv_tree(spec: NetSpec, p: dict, x_self, x_neigh, mask):
     if spec.module == "gcn":
         return gcn_conv_tree(p, x_self, x_neigh, mask)
     return sage_conv_tree(p, x_self, x_neigh, mask, aggr=spec.aggr)
+
+
+def _conv_pre(spec: NetSpec, p: dict, x_self, agg):
+    if spec.module == "gcn":
+        return gcn_conv_pre(p, x_self, agg)
+    return sage_conv_pre(p, x_self, agg)
 
 
 # ------------------------------------------------------- edge-list forward
@@ -264,21 +272,34 @@ def _stack_forward_tree(
     fanouts: tuple[int, ...],
     train: bool,
     key: Array | None,
+    leaf_agg: Array | None = None,
 ):
     """Dense k-hop tree forward.
 
     xs[d]: [N_d, F] features of depth-d tree nodes (depth 0 = seeds,
     N_d = B * prod(fanouts[:d])); masks[d]: [N_d] node validity. Layer i
     consumes depths 0..L-1-i and produces depths 0..L-1-i.
+
+    With ``leaf_agg`` (exact-leaf mode, ops/leaf_agg.py) the tree is one hop
+    shallower: xs has L depth arrays, and the first layer's deepest conv
+    uses the precomputed neighbor aggregate rows instead of sampled leaves.
     Returns (logits [B, C], h [B, hidden])."""
     L = spec.num_layers
-    assert len(xs) == L + 1, f"need {L + 1} depth arrays, got {len(xs)}"
+    exact = leaf_agg is not None
+    want = L if exact else L + 1
+    assert len(xs) == want, f"need {want} depth arrays, got {len(xs)}"
     h_out = xs[0]
     if spec.use_bn:
+        assert not exact, "exact-leaf mode is incompatible with input BN"
         xs = [batch_norm(params["bn1"], x) for x in xs]
     for i, p in enumerate(params["convs"]):
         new_xs = []
         for d in range(L - i):
+            if i == 0 and d == L - 1 and exact:
+                new_xs.append(
+                    _conv_pre(spec, p, xs[d], leaf_agg.astype(xs[d].dtype))
+                )
+                continue
             n_d = xs[d].shape[0]
             f = fanouts[d]
             x_neigh = xs[d + 1].reshape(n_d, f, xs[d + 1].shape[-1])
@@ -307,9 +328,19 @@ def apply_tree(
     key: Array | None = None,
     n_ids: list[Array] | None = None,
     noise_rate: float = 0.1,
+    leaf_agg: Array | None = None,
 ) -> dict:
-    """Tree forward; same output contract as :func:`apply` but rows = seeds."""
+    """Tree forward; same output contract as :func:`apply` but rows = seeds.
+
+    ``leaf_agg`` [N_{L-1}, F]: precomputed exact neighbor aggregates for the
+    deepest depth's nodes (ops/leaf_agg.py); the tree then carries one hop
+    fewer. Not supported for sagePL (step-dependent input noise), gcn_head,
+    or gat."""
+    if leaf_agg is not None and spec.module not in ("sage", "gcn", "sageH", "sageFC"):
+        raise ValueError(f"exact-leaf mode unsupported for module {spec.module!r}")
     xs = [_maybe_cast(spec, x) for x in xs]
+    if leaf_agg is not None:
+        leaf_agg = _maybe_cast(spec, leaf_agg)
     if spec.module == "sagePL":
         k1 = k2 = None
         if key is not None:
@@ -343,7 +374,9 @@ def apply_tree(
         m = masks[1].reshape(n0, fanouts[0])
         return _f32({"logits": sage_conv_tree(params["convs"][0], xs[0], x_neigh, m)})
 
-    logits, h = _stack_forward_tree(spec, params, xs, masks, fanouts, train, key)
+    logits, h = _stack_forward_tree(
+        spec, params, xs, masks, fanouts, train, key, leaf_agg=leaf_agg
+    )
     if spec.module == "sageH":
         return _f32({"logits": logits, "h": h})
     if spec.module == "sageFC":

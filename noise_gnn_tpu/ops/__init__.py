@@ -17,8 +17,11 @@ from .scatter import (
 )
 from .sampler import sample_khop_tree, TreeBatch
 from .sddmm import sddmm_cosine, blockwise_topk
+from .leaf_agg import precompute_leaf_agg, leaf_agg_eligible
 
 __all__ = [
+    "precompute_leaf_agg",
+    "leaf_agg_eligible",
     "gather_scatter_max",
     "segment_sum",
     "segment_mean",

@@ -33,6 +33,7 @@ def make_dp_ct_epoch(
     mesh,
     algo: str = "coteaching",
     co_lambda: float = 0.1,
+    exact_leaf: bool = False,
 ):
     """Whole-epoch DP driver: the single-chip lax.scan epoch (steps.py)
     compiled with the per-step seed batch dimension sharded over ``data``.
@@ -47,7 +48,7 @@ def make_dp_ct_epoch(
         donate_argnums=(0, 1),
         in_shardings=(rep, rep, rep, seed_sh, seed_sh, rep, rep),
         out_shardings=(rep, rep, rep),
-    )(ct_epoch_fn(spec, optimizer, fanouts, algo, co_lambda))
+    )(ct_epoch_fn(spec, optimizer, fanouts, algo, co_lambda, exact_leaf))
 
 
 def make_dp_ct_step(

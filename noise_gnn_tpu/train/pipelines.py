@@ -95,6 +95,8 @@ class BasePipeline:
 
         self.optimizer = self._make_optimizer(config)
         self._full_edge_index_cache = None  # lazy: ~500 MB H2D for products
+        self._leaf_agg_cache = {}  # exact-leaf aggregate tables by kind
+        self._host_indptr_cache = None
         self.key = jax.random.key(int(config.get("seed", 0)))
 
     @property
@@ -143,6 +145,44 @@ class BasePipeline:
     def next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    # ----------------------------------------------------- exact-leaf mode
+
+    def exact_leaf_on(self, spec) -> bool:
+        from ..ops.leaf_agg import leaf_agg_eligible
+
+        return bool(self.config.get("exact_leaf")) and leaf_agg_eligible(
+            spec, self.fanouts
+        )
+
+    def data_for(self, spec):
+        """GraphData for a spec: attaches the precomputed exact-leaf
+        aggregate table (ops/leaf_agg.py) when enabled and eligible. The
+        table depends only on (x, csr, aggregation kind), so it is cached
+        across runs/label re-flips."""
+        if not self.exact_leaf_on(spec):
+            return self.data
+        kind = "sum" if spec.module == "gcn" else spec.aggr
+        if kind not in self._leaf_agg_cache:
+            from ..ops.leaf_agg import precompute_leaf_agg
+
+            self._leaf_agg_cache[kind] = precompute_leaf_agg(
+                self.data.x, self.data.csr,
+                indptr_np=self._host_indptr(), aggr=kind,
+            )
+            self.logger.info(f"   exact-leaf: precomputed '{kind}' aggregate table")
+        return self.data._replace(leaf_agg=self._leaf_agg_cache[kind])
+
+    def _host_indptr(self) -> np.ndarray:
+        if self._host_indptr_cache is None:
+            indptr = np.zeros(self.graph.num_nodes + 1, np.int64)
+            np.cumsum(
+                np.bincount(self.graph.edge_index[1],
+                            minlength=self.graph.num_nodes),
+                out=indptr[1:],
+            )
+            self._host_indptr_cache = indptr
+        return self._host_indptr_cache
 
     def epoch_seed_matrix(self, idx: np.ndarray, batch_size: int):
         """All of an epoch's padded seed batches as [nsteps, B] arrays, for
@@ -275,7 +315,8 @@ class BasePipeline:
         c = self.config
         spec = self.spec_for(c.get("module_compare", c["module"]))
         epoch_fn = S.make_baseline_epoch(
-            spec, self.optimizer, self.fanouts, compare_loss=c["compare_loss"]
+            spec, self.optimizer, self.fanouts, compare_loss=c["compare_loss"],
+            exact_leaf=self.exact_leaf_on(spec),
         )
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
@@ -288,7 +329,8 @@ class BasePipeline:
             for epoch in range(int(c["max_epochs"])):
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
                 nb = seeds.shape[0]
-                s, agg = epoch_fn(s, self.data, seeds, masks, self.next_key(), noise_mat)
+                s, agg = epoch_fn(s, self.data_for(spec), seeds, masks,
+                                  self.next_key(), noise_mat)
                 rec_raw = self._fetch_metrics(agg, nb)
                 acc = evaluate(s.params)
                 best = max(best, acc["test"])
@@ -358,6 +400,7 @@ class PipelineCO(BasePipeline):
             spec, self.optimizer, self.fanouts,
             algo=c["algo_type"] if c["algo_type"] in ("codi",) else "coteaching",
             co_lambda=float(c["co_lambda"]),
+            exact_leaf=self.exact_leaf_on(spec),
         )
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
@@ -390,7 +433,7 @@ class PipelineCO(BasePipeline):
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
                 nb = seeds.shape[0]
                 s1, s2, agg = epoch_fn(
-                    s1, s2, self.data, seeds, masks, self.next_key(), fr
+                    s1, s2, self.data_for(spec), seeds, masks, self.next_key(), fr
                 )
                 rec_raw = self._fetch_metrics(agg, nb)  # single device sync
                 t_train = time.perf_counter() - t_train
@@ -625,7 +668,8 @@ class PipelineCT(BasePipeline):
         # intended module is sageFC (config_contrast.yml:13; unwired in the
         # reference's NGNN — wired here per SURVEY §7.3 item 8)
         spec = self.spec_for()
-        warm_epoch = S.make_ct_epoch(spec, self.optimizer, self.fanouts)
+        warm_epoch = S.make_ct_epoch(spec, self.optimizer, self.fanouts,
+                                     exact_leaf=self.exact_leaf_on(spec))
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
@@ -662,7 +706,7 @@ class PipelineCT(BasePipeline):
             fr = jnp.float32(self.rate_schedule[epoch])
             seeds, masks = self.epoch_seed_matrix(train_idx, bs)
             s1, s2, _ = warm_epoch(
-                s1, s2, self.data, seeds, masks, self.next_key(), fr
+                s1, s2, self.data_for(spec), seeds, masks, self.next_key(), fr
             )
             acc1 = evaluate(s1.params)
             acc2 = evaluate(s2.params)
@@ -783,7 +827,8 @@ class PipelineA(BasePipeline):
     def loop(self):
         c = self.config
         spec = self.spec_for()
-        epoch_fn = S.make_ct_epoch(spec, self.optimizer, self.fanouts)
+        epoch_fn = S.make_ct_epoch(spec, self.optimizer, self.fanouts,
+                                   exact_leaf=self.exact_leaf_on(spec))
         evaluate = self.make_eval(spec)
         eval_fn = S.make_eval_fn(spec)
         train_idx = self.split_idx["train"]
@@ -796,7 +841,7 @@ class PipelineA(BasePipeline):
         for epoch in range(int(c["max_epochs"])):
             fr = jnp.float32(self.rate_schedule[epoch])
             seeds, masks = self.epoch_seed_matrix(train_idx, bs)
-            s1, s2, _ = epoch_fn(s1, s2, self.data, seeds, masks,
+            s1, s2, _ = epoch_fn(s1, s2, self.data_for(spec), seeds, masks,
                                  self.next_key(), fr)
             # selection-quality probes on the train set
             logits = eval_fn(s1.params, self.data.x, self._full_edge_index)

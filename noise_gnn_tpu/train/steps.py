@@ -49,6 +49,24 @@ class GraphData(NamedTuple):
     yhn: Array  # [N] noisy labels
     clean: Array  # [N] bool, True = label clean (noise_or_not oracle)
     csr: CSRGraph  # reversed-CSR for in-neighbor sampling
+    # [N, F] precomputed exact neighbor aggregates (ops/leaf_agg.py), set by
+    # pipelines when `exact_leaf` is on; None otherwise
+    leaf_agg: Array | None = None
+
+
+def _sample_tree(key, data: GraphData, seeds, mask, fanouts, exact_leaf: bool):
+    """Sample the (possibly one-hop-shallower) tree and fetch its features.
+
+    Returns (tb, xs, leaf_agg_rows): with ``exact_leaf`` the deepest hop is
+    not sampled; its aggregate comes from one gather into data.leaf_agg."""
+    fan_s = fanouts[:-1] if exact_leaf else fanouts
+    tb = sample_khop_tree(key, data.csr, seeds, fan_s, mask)
+    xs = tb.gather_features(data.x)
+    la = None
+    if exact_leaf:
+        la = jnp.take(data.leaf_agg, tb.n_ids[-1], axis=0)
+        la = jnp.where(tb.masks[-1][:, None], la, 0)
+    return tb, xs, la
 
 
 class TrainState(NamedTuple):
@@ -66,22 +84,6 @@ class Batch(NamedTuple):
 
     seeds: Array  # [B] global node ids (padded)
     mask: Array  # [B] bool, False on padding
-
-
-def _tree_logits(spec, params, data, tb, key, train, noise_rate=0.1):
-    xs = tb.gather_features(data.x)
-    out = nets.apply_tree(
-        spec,
-        params,
-        xs,
-        list(tb.masks),
-        tb.fanouts,
-        train=train,
-        key=key,
-        n_ids=list(tb.n_ids),
-        noise_rate=noise_rate,
-    )
-    return out
 
 
 def _seed_labels(data, batch):
@@ -105,6 +107,7 @@ def ct_epoch_fn(
     fanouts: tuple[int, ...],
     algo: str = "coteaching",
     co_lambda: float = 0.1,
+    exact_leaf: bool = False,
 ):
     """Raw (un-jitted) whole-epoch co-teaching function — jitted plain by
     make_ct_epoch, or with mesh shardings by parallel.dp.make_dp_ct_epoch."""
@@ -122,17 +125,16 @@ def ct_epoch_fn(
             s1, s2 = carry
             b_seeds, b_mask, k = inp
             kb, k1, k2 = jax.random.split(k, 3)
-            tb = sample_khop_tree(kb, data.csr, b_seeds, fanouts, b_mask)
+            tb, xs, la = _sample_tree(kb, data, b_seeds, b_mask, fanouts, exact_leaf)
             yb = jnp.take(data.yhn, b_seeds)
             yt = jnp.take(data.y, b_seeds)
             cb = jnp.take(data.clean, b_seeds)
 
             def loss_fn(p1, p2):
-                xs = tb.gather_features(data.x)
-                o1 = nets.apply_tree(spec, p1, xs, list(tb.masks), fanouts,
-                                     train=True, key=k1)["logits"]
-                o2 = nets.apply_tree(spec, p2, xs, list(tb.masks), fanouts,
-                                     train=True, key=k2)["logits"]
+                o1 = nets.apply_tree(spec, p1, xs, list(tb.masks), tb.fanouts,
+                                     train=True, key=k1, leaf_agg=la)["logits"]
+                o2 = nets.apply_tree(spec, p2, xs, list(tb.masks), tb.fanouts,
+                                     train=True, key=k2, leaf_agg=la)["logits"]
                 if algo == "codi":
                     out = codi_loss(o1, o2, yb, forget_rate, cb, co_lambda, b_mask)
                 else:
@@ -182,6 +184,7 @@ def make_ct_epoch(
     fanouts: tuple[int, ...],
     algo: str = "coteaching",
     co_lambda: float = 0.1,
+    exact_leaf: bool = False,
 ):
     """Whole-epoch co-teaching driver: lax.scan over the seed batches inside
     ONE jit. Removes per-step host dispatch entirely (measured ~3 ms/step
@@ -190,7 +193,7 @@ def make_ct_epoch(
     seeds/masks: [nsteps, B]; returns summed metrics (host divides by
     nsteps)."""
     return functools.partial(jax.jit, donate_argnums=(0, 1))(
-        ct_epoch_fn(spec, optimizer, fanouts, algo, co_lambda)
+        ct_epoch_fn(spec, optimizer, fanouts, algo, co_lambda, exact_leaf)
     )
 
 
@@ -200,6 +203,7 @@ def make_ct_step(
     fanouts: tuple[int, ...],
     algo: str = "coteaching",
     co_lambda: float = 0.1,
+    exact_leaf: bool = False,
 ):
     """Dual-network co-teaching step, both nets + both optimizers in one jit
     (reference hot loop: src/pipeline.py:110-133)."""
@@ -214,12 +218,16 @@ def make_ct_step(
         forget_rate: Array,
     ):
         kb, k1, k2 = jax.random.split(key, 3)
-        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
+        tb, xs, la = _sample_tree(
+            kb, data, batch.seeds, batch.mask, fanouts, exact_leaf
+        )
         yb, yt, cb = _seed_labels(data, batch)
 
         def loss_fn(p1, p2):
-            o1 = _tree_logits(spec, p1, data, tb, k1, True)["logits"]
-            o2 = _tree_logits(spec, p2, data, tb, k2, True)["logits"]
+            o1 = nets.apply_tree(spec, p1, xs, list(tb.masks), tb.fanouts,
+                                 train=True, key=k1, leaf_agg=la)["logits"]
+            o2 = nets.apply_tree(spec, p2, xs, list(tb.masks), tb.fanouts,
+                                 train=True, key=k2, leaf_agg=la)["logits"]
             if algo == "codi":
                 out = codi_loss(o1, o2, yb, forget_rate, cb, co_lambda, batch.mask)
             else:
@@ -253,6 +261,7 @@ def make_baseline_epoch(
     optimizer,
     fanouts: tuple[int, ...],
     compare_loss: str = "normal",
+    exact_leaf: bool = False,
 ):
     """Whole-epoch baseline driver (lax.scan; see make_ct_epoch)."""
 
@@ -269,14 +278,13 @@ def make_baseline_epoch(
             st = carry
             b_seeds, b_mask, k = inp
             kb, kd = jax.random.split(k)
-            tb = sample_khop_tree(kb, data.csr, b_seeds, fanouts, b_mask)
+            tb, xs, la = _sample_tree(kb, data, b_seeds, b_mask, fanouts, exact_leaf)
             yb = jnp.take(data.yhn, b_seeds)
             yt = jnp.take(data.y, b_seeds)
 
             def loss_fn(p):
-                xs = tb.gather_features(data.x)
-                o = nets.apply_tree(spec, p, xs, list(tb.masks), fanouts,
-                                    train=True, key=kd)["logits"]
+                o = nets.apply_tree(spec, p, xs, list(tb.masks), tb.fanouts,
+                                    train=True, key=kd, leaf_agg=la)["logits"]
                 if compare_loss == "back":
                     loss = backward_correction(o, yb, noise_mat, b_mask)
                 else:
@@ -303,6 +311,7 @@ def make_baseline_step(
     optimizer,
     fanouts: tuple[int, ...],
     compare_loss: str = "normal",
+    exact_leaf: bool = False,
 ):
     """Plain CE / backward-correction baseline (reference train(),
     src/pipeline.py:144-173). noise_mat rides along for 'back'."""
@@ -316,11 +325,14 @@ def make_baseline_step(
         noise_mat: Array,
     ):
         kb, kd = jax.random.split(key)
-        tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
+        tb, xs, la = _sample_tree(
+            kb, data, batch.seeds, batch.mask, fanouts, exact_leaf
+        )
         yb, yt, _ = _seed_labels(data, batch)
 
         def loss_fn(p):
-            o = _tree_logits(spec, p, data, tb, kd, True)["logits"]
+            o = nets.apply_tree(spec, p, xs, list(tb.masks), tb.fanouts,
+                                train=True, key=kd, leaf_agg=la)["logits"]
             if compare_loss == "back":
                 loss = backward_correction(o, yb, noise_mat, batch.mask)
             else:
