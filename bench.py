@@ -81,10 +81,19 @@ def main():
     t0 = time.perf_counter()
     op = PallasSpmm(indptr, src, n)
     log(f"pack+put: {time.perf_counter() - t0:.1f}s, groups={len(op._groups)}")
+    interp = dev.platform not in ("tpu", "axon")  # Pallas interprets on CPU
 
-    t_pallas = fetch_time(lambda: op(x).sum(), args.iters)
+    t_pallas = fetch_time(lambda: op(x, interpret=interp).sum(), args.iters)
     rate_pallas = e / t_pallas
     log(f"pallas hybrid: {t_pallas * 1e3:.1f} ms -> {rate_pallas / 1e6:.1f} M edges/s")
+
+    # single-dispatch whole-op form (all groups + reduction in one jit)
+    jsum = jax.jit(lambda xx, parts: op._traced(xx, parts, True, interp).sum())
+    t_fused = fetch_time(lambda: jsum(x, op._parts), args.iters)
+    rate_fused = e / t_fused
+    log(f"pallas hybrid (one jit): {t_fused * 1e3:.1f} ms -> "
+        f"{rate_fused / 1e6:.1f} M edges/s")
+    rate_pallas = max(rate_pallas, rate_fused)
 
     rate_xla = 0.0
     if args.with_xla:

@@ -89,6 +89,24 @@ def precompute_leaf_agg(
     return gather_scatter_mean(x, edge_index, num_nodes)
 
 
+def fused_leaf_table(
+    x: Array,
+    csr,
+    indptr_np: np.ndarray | None = None,
+    aggr: str = "mean",
+    backend: str = "auto",
+) -> Array:
+    """``concat([x, M], axis=1)`` — the fused [N, 2F] exact-leaf table.
+
+    XLA's gather engine is per-INDEX bound regardless of row width
+    (docs/DESIGN.md), so fetching a leaf-depth node's own features AND its
+    precomputed neighbor aggregate as ONE double-width row costs half the
+    indices of two separate gathers."""
+    m = precompute_leaf_agg(x, csr, indptr_np=indptr_np, aggr=aggr,
+                            backend=backend)
+    return jnp.concatenate([x, m.astype(x.dtype)], axis=1)
+
+
 def leaf_agg_eligible(spec, fanouts) -> bool:
     """True when the exact-leaf path preserves the model's semantics."""
     return (

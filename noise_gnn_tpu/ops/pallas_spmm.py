@@ -378,6 +378,40 @@ class PallasSpmm:
             outs.append(out[:rows])
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
+    def _traced(self, x: Array, parts, mean: bool, interpret: bool) -> Array:
+        """All super-groups inside one trace: gathers, reduce kernels, and
+        the output concat compile into ONE executable — no per-group host
+        dispatch (measured ~3 ms/launch through a dev tunnel) and no
+        intermediate device round-trips."""
+        f = x.shape[-1]
+        outs = []
+        for (b0, b1, _, _), (src_g, dst_g, maps) in zip(self._groups, parts):
+            rows = min(b1 * ROW_BLOCK, self.num_nodes) - b0 * ROW_BLOCK
+            msgs = jnp.take(x, src_g, axis=0)
+            out = _spmm_call_pregathered(
+                msgs, dst_g, *maps,
+                num_nodes=self._g_nblocks * ROW_BLOCK, feat=f, mean=mean,
+                interpret=interpret,
+            )
+            outs.append(out[:rows])
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    def apply(self, x: Array, mean: bool = True, interpret: bool = False) -> Array:
+        """Single-dispatch whole-op application (one jit over all groups).
+
+        Group edge/schedule arrays travel as ARGUMENTS, not closed-over
+        constants (closures over large device arrays serialize into the
+        remote-compile payload and fail)."""
+        n, f = x.shape
+        assert n == self.num_nodes and f % LANES == 0
+        key = (f, x.dtype, mean, interpret)
+        if getattr(self, "_jfn_key", None) != key:
+            self._jfn = jax.jit(
+                functools.partial(self._traced, mean=mean, interpret=interpret)
+            )
+            self._jfn_key = key
+        return self._jfn(x, self._parts)
+
 
 def pack_blocked_device(
     indptr_np: np.ndarray, indices_dev: Array, num_nodes: int
@@ -478,6 +512,8 @@ class PallasSpmmDevice:
         ]
 
     __call__ = PallasSpmm.__call__
+    _traced = PallasSpmm._traced
+    apply = PallasSpmm.apply
 
 
 def csr_spmm(

@@ -164,9 +164,9 @@ class BasePipeline:
             return self.data
         kind = "sum" if spec.module == "gcn" else spec.aggr
         if kind not in self._leaf_agg_cache:
-            from ..ops.leaf_agg import precompute_leaf_agg
+            from ..ops.leaf_agg import fused_leaf_table
 
-            self._leaf_agg_cache[kind] = precompute_leaf_agg(
+            self._leaf_agg_cache[kind] = fused_leaf_table(
                 self.data.x, self.data.csr,
                 indptr_np=self._host_indptr(), aggr=kind,
             )

@@ -49,8 +49,8 @@ class GraphData(NamedTuple):
     yhn: Array  # [N] noisy labels
     clean: Array  # [N] bool, True = label clean (noise_or_not oracle)
     csr: CSRGraph  # reversed-CSR for in-neighbor sampling
-    # [N, F] precomputed exact neighbor aggregates (ops/leaf_agg.py), set by
-    # pipelines when `exact_leaf` is on; None otherwise
+    # [N, 2F] fused exact-leaf table concat([x, M], 1) (ops/leaf_agg.py),
+    # set by pipelines when `exact_leaf` is on; None otherwise
     leaf_agg: Array | None = None
 
 
@@ -58,14 +58,18 @@ def _sample_tree(key, data: GraphData, seeds, mask, fanouts, exact_leaf: bool):
     """Sample the (possibly one-hop-shallower) tree and fetch its features.
 
     Returns (tb, xs, leaf_agg_rows): with ``exact_leaf`` the deepest hop is
-    not sampled; its aggregate comes from one gather into data.leaf_agg."""
+    not sampled; the deepest depth's own features AND exact neighbor
+    aggregate arrive as ONE gather into the fused [N, 2F] table (the gather
+    engine is per-index bound, so the double-width row is free)."""
     fan_s = fanouts[:-1] if exact_leaf else fanouts
     tb = sample_khop_tree(key, data.csr, seeds, fan_s, mask)
-    xs = tb.gather_features(data.x)
-    la = None
-    if exact_leaf:
-        la = jnp.take(data.leaf_agg, tb.n_ids[-1], axis=0)
-        la = jnp.where(tb.masks[-1][:, None], la, 0)
+    if not exact_leaf:
+        return tb, tb.gather_features(data.x), None
+    f = data.x.shape[-1]
+    xs = [jnp.take(data.x, ids, axis=0) for ids in tb.n_ids[:-1]]
+    fused = jnp.take(data.leaf_agg, tb.n_ids[-1], axis=0)
+    xs.append(fused[:, :f])
+    la = jnp.where(tb.masks[-1][:, None], fused[:, f:], 0)
     return tb, xs, la
 
 

@@ -11,7 +11,11 @@ import pytest
 from noise_gnn_tpu.graph.datasets import synthetic_graph
 from noise_gnn_tpu.models import nets
 from noise_gnn_tpu.noise import flip_label, noise_or_not
-from noise_gnn_tpu.ops.leaf_agg import leaf_agg_eligible, precompute_leaf_agg
+from noise_gnn_tpu.ops.leaf_agg import (
+    fused_leaf_table,
+    leaf_agg_eligible,
+    precompute_leaf_agg,
+)
 from noise_gnn_tpu.ops.sampler import sample_khop_tree
 from noise_gnn_tpu.train import steps as S
 
@@ -95,7 +99,10 @@ def test_exact_leaf_ct_epoch_learns(tiny):
         csr=g.csr(),
     )
     spec = spec_for(g)
-    table = precompute_leaf_agg(data.x, data.csr, aggr="mean")
+    table = fused_leaf_table(data.x, data.csr, aggr="mean")
+    assert table.shape == (g.num_nodes, 2 * g.num_features)
+    np.testing.assert_array_equal(np.asarray(table[:, : g.num_features]),
+                                  np.asarray(data.x))
     data = data._replace(leaf_agg=table)
     opt = optax.adam(5e-3)
     epoch_fn = S.make_ct_epoch(spec, opt, (5, 3), exact_leaf=True)

@@ -47,7 +47,7 @@ def main():
 
     from noise_gnn_tpu.graph.containers import CSRGraph
     from noise_gnn_tpu.models import nets
-    from noise_gnn_tpu.ops.leaf_agg import precompute_leaf_agg
+    from noise_gnn_tpu.ops.leaf_agg import fused_leaf_table
     from noise_gnn_tpu.train import steps as S
     from noise_gnn_tpu.utils.memory import configure_malloc
 
@@ -86,7 +86,7 @@ def main():
         if exact:
             t0 = time.perf_counter()
             indptr_np = np.arange(n + 1, dtype=np.int64) * deg
-            table = precompute_leaf_agg(x, csr, indptr_np=indptr_np, aggr="mean")
+            table = fused_leaf_table(x, csr, indptr_np=indptr_np, aggr="mean")
             table = jax.block_until_ready(table)
             log(f"[{mode}] leaf-agg precompute ({e / 1e6:.0f} M edges): "
                 f"{time.perf_counter() - t0:.2f}s")
