@@ -88,16 +88,16 @@ class FullGraphInference:
 
         self._jitted = jax.jit(self._forward)
 
-    def _agg(self, x: Array, mean: bool) -> Array:
+    def _agg(self, x: Array, mean: bool, parts=None) -> Array:
         if self.backend == "pallas":
-            return self._spmm(_pad_cols(x), mean=mean)[:, : x.shape[-1]].astype(
-                x.dtype
-            )
+            return self._spmm._traced(
+                _pad_cols(x), parts, mean, False
+            )[:, : x.shape[-1]].astype(x.dtype)
         if mean:
             return gather_scatter_mean(x, self._edge_index, self.num_nodes)
         return gather_scatter_sum(x, self._edge_index, self.num_nodes)
 
-    def _forward(self, params: dict, x: Array) -> Array:
+    def _forward(self, params: dict, x: Array, parts=None) -> Array:
         spec = self.spec
         if spec.compute_dtype != "float32":
             x = x.astype(jnp.dtype(spec.compute_dtype))
@@ -106,13 +106,13 @@ class FullGraphInference:
         is_gcn = spec.module == "gcn"
         for i, p in enumerate(params["convs"]):
             if is_gcn:
-                agg = self._agg(x, mean=False) + x
+                agg = self._agg(x, mean=False, parts=parts) + x
                 x = agg @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
             else:
                 if spec.aggr == "max":
                     agg = gather_scatter_max(x, self._edge_index, self.num_nodes)
                 else:
-                    agg = self._agg(x, mean=True)
+                    agg = self._agg(x, mean=True, parts=parts)
                 x = (
                     agg @ p["w_neigh"].astype(x.dtype)
                     + x @ p["w_root"].astype(x.dtype)
@@ -124,7 +124,8 @@ class FullGraphInference:
 
     def __call__(self, params: dict, x: Array) -> Array:
         if self.backend == "pallas":
-            # PallasSpmm launches per super-group; jit only the surrounding
-            # math (the kernel calls are jitted internally)
-            return self._forward(params, x)
+            # whole forward (all layers x all SpMM super-groups) in ONE
+            # executable; the group edge/schedule arrays travel as args, not
+            # closed-over constants (large closures break remote compile)
+            return self._jitted(params, x, self._spmm._parts)
         return self._jitted(params, x)

@@ -141,6 +141,37 @@ def test_dp_epoch_matches_single_device(tiny):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
 
 
+def test_dp_epoch_exact_leaf_matches_single_device(tiny):
+    """Exact-leaf mode under DP sharding == plain exact-leaf epoch."""
+    from noise_gnn_tpu.ops.leaf_agg import fused_leaf_table
+    from noise_gnn_tpu.parallel import make_dp_ct_epoch
+
+    g, data = tiny
+    data = data._replace(leaf_agg=fused_leaf_table(data.x, data.csr))
+    spec = nets.NetSpec(module="sage", in_size=g.num_features, hidden_size=16,
+                        out_size=g.num_classes, num_layers=2, dropout=0.0)
+    opt = optax.adam(1e-2)
+    mesh = make_mesh()
+    rng = np.random.default_rng(6)
+    seeds = rng.choice(g.num_nodes, (2, 32), replace=False).astype(np.int32)
+    masks = np.ones((2, 32), bool)
+    key, fr = jax.random.key(3), jnp.float32(0.2)
+
+    def fresh():
+        return (S.init_state(jax.random.key(1), spec, opt),
+                S.init_state(jax.random.key(2), spec, opt))
+
+    e_dp = make_dp_ct_epoch(spec, opt, (4, 3), mesh, exact_leaf=True)
+    s1d, _, md = e_dp(*fresh(), data, jnp.asarray(seeds), jnp.asarray(masks), key, fr)
+    e_1 = S.make_ct_epoch(spec, opt, (4, 3), exact_leaf=True)
+    s1p, _, mp = e_1(*fresh(), data, jnp.asarray(seeds), jnp.asarray(masks), key, fr)
+
+    np.testing.assert_allclose(float(md["loss_1"]), float(mp["loss_1"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1d.params),
+                    jax.tree_util.tree_leaves(s1p.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+
 def test_partitioned_inference_matches_apply(tiny):
     """Distributed full-graph inference == single-device edge-list forward."""
     from noise_gnn_tpu.parallel import make_partitioned_inference
