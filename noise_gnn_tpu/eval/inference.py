@@ -47,11 +47,18 @@ class FullGraphInference:
         backend: str = "auto",
         csr=None,
         indptr_np: np.ndarray | None = None,
+        x_agg=None,
     ):
         """Pass EITHER a host ``edge_index`` (it will be staged to the
         device) OR an already-resident ``csr`` (CSRGraph) + its host
         ``indptr_np`` — the resident path uploads nothing but a few KB
-        (crucial on slow host->device links)."""
+        (crucial on slow host->device links).
+
+        ``x_agg`` [N, F]: the first layer's neighbor aggregate of the RAW
+        features, which is constant across the whole run (x never changes) —
+        supplying it makes layer 1 matmul-only, saving one full-graph SpMM
+        per call (ops/leaf_agg.py provides the table)."""
+        self._x_agg = x_agg
         self.spec = spec
         self.num_nodes = int(num_nodes)
         n_edges = int(indptr_np[-1]) if csr is not None else edge_index.shape[1]
@@ -97,7 +104,7 @@ class FullGraphInference:
             return gather_scatter_mean(x, self._edge_index, self.num_nodes)
         return gather_scatter_sum(x, self._edge_index, self.num_nodes)
 
-    def _forward(self, params: dict, x: Array, parts=None) -> Array:
+    def _forward(self, params: dict, x: Array, parts=None, x_agg=None) -> Array:
         spec = self.spec
         if spec.compute_dtype != "float32":
             x = x.astype(jnp.dtype(spec.compute_dtype))
@@ -105,14 +112,19 @@ class FullGraphInference:
             raise NotImplementedError("gat inference uses the edge-list path")
         is_gcn = spec.module == "gcn"
         for i, p in enumerate(params["convs"]):
-            if is_gcn:
-                agg = self._agg(x, mean=False, parts=parts) + x
-                x = agg @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+            if i == 0 and x_agg is not None:
+                # precomputed first-layer aggregate: x is run-constant, so
+                # agg(x) is too (ops/leaf_agg.py) — layer 1 is matmul-only
+                agg = x_agg.astype(x.dtype)
+            elif is_gcn:
+                agg = self._agg(x, mean=False, parts=parts)
+            elif spec.aggr == "max":
+                agg = gather_scatter_max(x, self._edge_index, self.num_nodes)
             else:
-                if spec.aggr == "max":
-                    agg = gather_scatter_max(x, self._edge_index, self.num_nodes)
-                else:
-                    agg = self._agg(x, mean=True, parts=parts)
+                agg = self._agg(x, mean=True, parts=parts)
+            if is_gcn:
+                x = (agg + x) @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+            else:
                 x = (
                     agg @ p["w_neigh"].astype(x.dtype)
                     + x @ p["w_root"].astype(x.dtype)
@@ -125,7 +137,8 @@ class FullGraphInference:
     def __call__(self, params: dict, x: Array) -> Array:
         if self.backend == "pallas":
             # whole forward (all layers x all SpMM super-groups) in ONE
-            # executable; the group edge/schedule arrays travel as args, not
-            # closed-over constants (large closures break remote compile)
-            return self._jitted(params, x, self._spmm._parts)
-        return self._jitted(params, x)
+            # executable; the group edge/schedule arrays and the x_agg table
+            # travel as args, not closed-over constants (large closures
+            # break remote compile)
+            return self._jitted(params, x, self._spmm._parts, self._x_agg)
+        return self._jitted(params, x, None, self._x_agg)

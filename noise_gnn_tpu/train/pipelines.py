@@ -163,15 +163,7 @@ class BasePipeline:
         if not self.exact_leaf_on(spec):
             return self.data
         kind = "sum" if spec.module == "gcn" else spec.aggr
-        if kind not in self._leaf_agg_cache:
-            from ..ops.leaf_agg import fused_leaf_table
-
-            self._leaf_agg_cache[kind] = fused_leaf_table(
-                self.data.x, self.data.csr,
-                indptr_np=self._host_indptr(), aggr=kind,
-            )
-            self.logger.info(f"   exact-leaf: precomputed '{kind}' aggregate table")
-        return self.data._replace(leaf_agg=self._leaf_agg_cache[kind])
+        return self.data._replace(leaf_agg=self._fused_table(kind))
 
     def _host_indptr(self) -> np.ndarray:
         if self._host_indptr_cache is None:
@@ -237,6 +229,19 @@ class BasePipeline:
 
         return accs
 
+    def _fused_table(self, kind: str):
+        """The [N, 2F] concat([x, agg(x)], 1) table for an aggregation kind,
+        built once per pipeline (x and the graph never change across runs)."""
+        if kind not in self._leaf_agg_cache:
+            from ..ops.leaf_agg import fused_leaf_table
+
+            self._leaf_agg_cache[kind] = fused_leaf_table(
+                self.data.x, self.data.csr,
+                indptr_np=self._host_indptr(), aggr=kind,
+            )
+            self.logger.info(f"   precomputed '{kind}' x||agg(x) table")
+        return self._leaf_agg_cache[kind]
+
     def make_eval(self, spec):
         accs = self._split_accuracy_fn()
         if spec.module in ("sage", "gcn", "sageH", "sageFC", "sagePL"):
@@ -244,16 +249,15 @@ class BasePipeline:
             # many-edge graphs on TPU (eval/inference.py)
             from ..eval.inference import FullGraphInference
 
-            # reuse the device-resident training CSR: nothing big re-uploads
-            indptr_np = np.zeros(self.graph.num_nodes + 1, np.int64)
-            np.cumsum(
-                np.bincount(self.graph.edge_index[1],
-                            minlength=self.graph.num_nodes),
-                out=indptr_np[1:],
-            )
+            # layer 1 aggregates the run-constant raw features — reuse the
+            # exact-leaf table (or build it) so eval skips one full SpMM
+            kind = "sum" if spec.module == "gcn" else spec.aggr
+            f = self.data.x.shape[-1]
+            x_agg = self._fused_table(kind)[:, f:]
             infer = FullGraphInference(
                 spec, None, self.graph.num_nodes,
-                csr=self.data.csr, indptr_np=indptr_np,
+                csr=self.data.csr, indptr_np=self._host_indptr(),
+                x_agg=x_agg,
             )
 
             def evaluate(params):
@@ -525,13 +529,16 @@ class PipelineTE(BasePipeline):
                 epoch_fn = epoch_cont if epoch > int(c["ct_tk"]) else epoch_plain
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
                 nb = seeds.shape[0]
+                t_train = time.perf_counter()
                 s, agg = epoch_fn(s, self.data, seeds, masks, self.next_key(), fr)
+                rec = self._fetch_metrics(agg, nb)  # device sync: train done
+                t_train = time.perf_counter() - t_train
                 acc1 = evaluate(s.params[0])
                 acc2 = evaluate(s.params[1])
                 best = max(best, acc1["test"], acc2["test"])
                 self.metrics.write(
-                    event="epoch_te", run=run, epoch=epoch,
-                    **self._fetch_metrics(agg, nb),
+                    event="epoch_te", run=run, epoch=epoch, **rec,
+                    epoch_train_s=t_train,
                     val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
                     test_acc_1=acc1["test"], test_acc_2=acc2["test"],
                 )
@@ -579,15 +586,18 @@ class PipelineCTP(BasePipeline):
                 epoch_fn = epoch1 if epoch > 0 else epoch0
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
                 nb = seeds.shape[0]
+                t_train = time.perf_counter()
                 s1, s2, agg = epoch_fn(
                     s1, s2, self.data, seeds, masks, self.next_key(), fr
                 )
+                rec = self._fetch_metrics(agg, nb)  # device sync: train done
+                t_train = time.perf_counter() - t_train
                 acc1 = evaluate(s1.params)
                 acc2 = evaluate(s2.params)
                 best = max(best, acc1["test"], acc2["test"])
                 self.metrics.write(
-                    event="epoch_ctp", run=run, epoch=epoch,
-                    **self._fetch_metrics(agg, nb),
+                    event="epoch_ctp", run=run, epoch=epoch, **rec,
+                    epoch_train_s=t_train,
                     val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
                     test_acc_1=acc1["test"], test_acc_2=acc2["test"],
                 )
@@ -636,13 +646,16 @@ class PipelineH(BasePipeline):
                 epoch_fn = epoch1 if epoch > 0 else epoch0
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
                 nb = seeds.shape[0]
+                t_train = time.perf_counter()
                 s, agg = epoch_fn(s, self.data, seeds, masks, self.next_key(), fr)
+                rec = self._fetch_metrics(agg, nb)  # device sync: train done
+                t_train = time.perf_counter() - t_train
                 acc1 = evaluate(s.params[0])
                 acc2 = evaluate(s.params[1])
                 best = max(best, acc1["test"], acc2["test"])
                 self.metrics.write(
-                    event="epoch_h", run=run, epoch=epoch,
-                    **self._fetch_metrics(agg, nb),
+                    event="epoch_h", run=run, epoch=epoch, **rec,
+                    epoch_train_s=t_train,
                     val_acc_1=acc1["valid"], test_acc_1=acc1["test"],
                     val_acc_2=acc2["valid"], test_acc_2=acc2["test"],
                 )

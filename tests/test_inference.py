@@ -33,3 +33,26 @@ def test_inference_sagepl_pure_branch():
     want = nets.apply(spec, params, jnp.asarray(g.x), jnp.asarray(g.edge_index),
                       train=False)["z_pure"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("module,aggr", [("sage", "mean"), ("gcn", "mean"),
+                                         ("sage", "max")])
+def test_inference_with_precomputed_x_agg(module, aggr):
+    """Supplying the run-constant first-layer aggregate (ops/leaf_agg.py)
+    must not change the result."""
+    from noise_gnn_tpu.ops.leaf_agg import precompute_leaf_agg
+
+    g = synthetic_graph(300, 32, 4, 2400, seed=2)
+    spec = nets.NetSpec(module=module, in_size=32, hidden_size=16, out_size=4,
+                        num_layers=2, aggr=aggr)
+    params = nets.init_params(jax.random.key(2), spec)
+    kind = "sum" if module == "gcn" else aggr
+    x_agg = precompute_leaf_agg(jnp.asarray(g.x), g.csr(), aggr=kind)
+    base = FullGraphInference(spec, g.edge_index, g.num_nodes, backend="xla")
+    fast = FullGraphInference(spec, g.edge_index, g.num_nodes, backend="xla",
+                              x_agg=x_agg)
+    x = jnp.asarray(g.x)
+    np.testing.assert_allclose(
+        np.asarray(fast(params, x)), np.asarray(base(params, x)),
+        rtol=1e-4, atol=1e-4,
+    )
