@@ -72,17 +72,24 @@ def synthetic_graph(
     """Deterministic homophilous Gaussian-mixture graph.
 
     Labels are uniform; features are a class-mean (random +-1 template scaled
-    by 1/sqrt(F)) plus ``feature_noise`` * N(0,1); each directed edge picks a
-    uniform source and, with probability ``homophily``, a same-class
-    destination (degree-skewed by sampling node indices from a squared
-    uniform, giving a heavy-ish tail like real citation graphs).
+    by 1/sqrt(F), so class means are unit-norm and ~sqrt(2) apart) plus
+    isotropic noise with per-coordinate std ``feature_noise``. Isotropic
+    noise projects onto ANY unit direction with std ``feature_noise``, so the
+    single-node discriminability between two classes is d' ~ sqrt(2) /
+    ``feature_noise`` regardless of F — this is the knob the per-dataset
+    difficulty calibration turns (tools/calibrate_synthetic.py). (An earlier
+    revision scaled the noise by 1/sqrt(F) too, which made d' grow with
+    sqrt(F) and saturated every dataset near 100% accuracy.) Each directed
+    edge picks a uniform source and, with probability ``homophily``, a
+    same-class destination (degree-skewed by sampling node indices from a
+    squared uniform, giving a heavy-ish tail like real citation graphs).
     """
     rng = np.random.default_rng(seed)
     y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
 
     means = (rng.random((num_classes, num_features)) < 0.5).astype(np.float32)
     means = (2 * means - 1) / np.sqrt(num_features)
-    x = means[y] + feature_noise / np.sqrt(num_features) * rng.standard_normal(
+    x = means[y] + feature_noise * rng.standard_normal(
         (num_nodes, num_features)
     ).astype(np.float32)
 
@@ -159,8 +166,9 @@ def load_network(config: dict) -> Graph:
         scale = max(int(config.get("synthetic_scale", 1)), 1)
         # generation cache: products-scale synthesis costs ~100 s of host
         # time per run; the graph is deterministic in (name, seed, scale)
+        # v2: per-direction feature-noise semantics (see synthetic_graph)
         gen_cache = os.path.join(
-            data_dir, "synthetic", f"{name}_seed{seed}_scale{scale}.npz"
+            data_dir, "synthetic", f"{name}_seed{seed}_scale{scale}_v2.npz"
         )
         if os.path.exists(gen_cache):
             g = _load_npz(gen_cache, name)

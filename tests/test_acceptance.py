@@ -24,8 +24,11 @@ C = 40
 
 @pytest.fixture(scope="module")
 def noisy_world():
+    # 0.19 per-direction noise ~= the pre-v2 generator's 1.5/sqrt(64):
+    # raw features stay informative, so the failure mode under test is label
+    # noise, not feature noise
     g = synthetic_graph(4000, 64, C, 32000, homophily=0.85, seed=0,
-                        feature_noise=1.5)
+                        feature_noise=0.19)
     yhn, mat = flip_label(g.y, C, "sym", 0.45, np.random.default_rng(0))
     clean = noise_or_not(g.y, yhn)
     data = S.GraphData(

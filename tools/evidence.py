@@ -1,0 +1,135 @@
+"""Evidence suite: noise-robust algorithms vs plain-CE baseline, A/B on the
+same graphs + injected noise (the reference's own success criterion:
+best-epoch test accuracy mean+-std over runs, src/pipeline.py:267-275).
+
+Runs a matrix of (dataset, noise, algorithm) experiments through the real CLI
+dispatch (main.main) and writes docs/RESULTS.md. Meant for the TPU chip:
+
+  python tools/evidence.py            # full matrix (~1 h)
+  python tools/evidence.py --quick    # small datasets only
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from noise_gnn_tpu.utils.config import load_config  # noqa: E402
+
+
+def run_one(base_cfg: str, overrides: dict) -> dict:
+    import main as cli
+
+    cfg = load_config(os.path.join("configs", base_cfg))
+    cfg.update(copy.deepcopy(overrides))
+    t0 = time.time()
+    res = cli.main(cfg)
+    out = {"wall_s": round(time.time() - t0, 1)}
+    if isinstance(res, dict) and "test" in res:  # PipelineCT: final accs dict
+        res = {"contrastive": (float(res["test"]), 0.0)}
+    for branch, val in (res or {}).items():
+        if isinstance(val, tuple) and len(val) == 2:
+            out[branch] = {"mean": round(val[0], 4), "std": round(val[1], 4)}
+        else:
+            out[branch] = val
+    return out
+
+
+# (row label, base config, overrides). train_type 'both' = noise-robust
+# algorithm AND plain-CE baseline on identical data/noise/splits.
+MATRIX = [
+    ("cora sym 0.45 co-teaching vs CE", "config_cora.yml",
+     dict(train_type="both", noise_type="sym", noise_rate=0.45,
+          compare_loss="normal", num_runs=3, batch_id=90)),
+    ("cora sym 0.45 backward-correction vs CE", "config_cora.yml",
+     dict(train_type="baseline", noise_type="sym", noise_rate=0.45,
+          compare_loss="back", num_runs=3, batch_id=91)),
+    ("cora sym 0.45 CoDis", "config_cora.yml",
+     dict(train_type="nalgo", algo_type="codi", noise_type="sym",
+          noise_rate=0.45, num_runs=3, batch_id=92)),
+    ("pubmed rand_pair 0.4 co-teaching vs CE", "config_pubmed.yml",
+     dict(train_type="both", noise_type="rand_pair", noise_rate=0.4,
+          compare_loss="normal", num_runs=3, batch_id=90)),
+    ("computers sym 0.45 CoDis vs CE", "config_amazon.yml",
+     dict(train_type="both", noise_type="sym", noise_rate=0.45,
+          compare_loss="normal", num_runs=3, batch_id=90)),
+]
+
+MATRIX_BIG = [
+    ("ogbn-arxiv rand_pair 0.3 co-teaching vs CE", "config_arxiv.yml",
+     dict(train_type="both", what="", module="sage", compare_loss="normal",
+          num_runs=3, batch_id=90)),
+    ("computers _test3 sagePL CT+contrastive", "config_test_s.yml",
+     dict(train_type="nalgo", num_runs=2, max_epochs=50, batch_id=90)),
+    ("ogbn-arxiv CTP consistency", "config_ctp.yml",
+     dict(num_runs=1, max_epochs=30, batch_id=90)),
+    ("ogbn-arxiv contrastive pretrain/finetune", "config_contrast.yml",
+     dict(num_runs=1, batch_id=90)),
+    ("ogbn-arxiv pseudo-label (H)", "config_h.yml",
+     dict(num_runs=1, batch_id=90)),
+    ("ogbn-products rand_pair 0.3 co-teaching vs CE (flagship)",
+     "config_products.yml",
+     dict(train_type="both", compare_loss="normal", num_runs=1,
+          batch_id=90, exact_leaf=True)),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small datasets only")
+    ap.add_argument("--out", default="docs/RESULTS.md")
+    args = ap.parse_args()
+
+    matrix = MATRIX + ([] if args.quick else MATRIX_BIG)
+    rows = []
+    for label, base, ov in matrix:
+        print(f"== {label}", flush=True)
+        try:
+            res = run_one(base, ov)
+        except Exception as e:  # keep the suite going; report the failure
+            res = {"error": repr(e)}
+        print(json.dumps({label: res}), flush=True)
+        rows.append((label, base, ov, res))
+
+    lines = [
+        "# RESULTS — noise-robustness evidence (synthetic fallback datasets)",
+        "",
+        "Best-epoch test accuracy, mean +- std over runs (the reference's own",
+        "success criterion, src/pipeline.py:267-275). Datasets are the",
+        "calibrated synthetic fallbacks (no egress; tools/calibrate_synthetic.py)",
+        "so the absolute numbers anchor THIS repo's A/B comparisons, not the",
+        "real-dataset literature. `nalgo` = the noise-robust algorithm,",
+        "`baseline` = plain CE on the identical graph/noise/splits.",
+        "",
+        "| Experiment | noise-robust (nalgo) | plain-CE baseline |",
+        "|---|---|---|",
+    ]
+    for label, base, ov, res in rows:
+        def fmt(b):
+            v = res.get(b)
+            return f"{v['mean']:.3f} +- {v['std']:.3f}" if isinstance(v, dict) and "mean" in v else "--"
+        robust = [b for b in res
+                  if isinstance(res.get(b), dict) and "mean" in res[b]
+                  and b != "baseline"]
+        rcell = ", ".join(f"{b}: {fmt(b)}" for b in robust) or (
+            "ERROR" if "error" in res else "--")
+        lines.append(f"| {label} | {rcell} | {fmt('baseline')} |")
+    lines += [
+        "",
+        f"Raw returns: see `out/metrics/` JSONL streams (event=summary_*).",
+        "",
+        "Generated by `tools/evidence.py` on one TPU v5e chip.",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
