@@ -92,6 +92,13 @@ def synthetic_graph(
     x = means[y] + feature_noise * rng.standard_normal(
         (num_nodes, num_features)
     ).astype(np.float32)
+    # Keep the INPUT SCALE ~unit regardless of the difficulty knob: d' is
+    # scale-invariant, but un-normalized high-noise features (per-coord std =
+    # feature_noise) destabilize Glorot-init Adam training — probes showed a
+    # non-monotone optimization cliff (acc 0.99 @ f=4.5, 0.03 @ f=5.5,
+    # 0.49 @ f=6.6) that vanishes with this rescale. Real datasets ship
+    # normalized features too.
+    x /= 1.0 + feature_noise
 
     # class buckets for homophilous destination sampling
     order = np.argsort(y, kind="stable")

@@ -83,14 +83,23 @@ def test_small_loss_selection_finds_clean_labels(noisy_world):
     assert acc_ct > 0.70, acc_ct  # learns well despite 45% label noise
 
 
-def test_coteaching_noninferior_to_plain_ce(noisy_world):
-    """Short-horizon A/B: co-teaching trains on ~half the samples yet stays
-    competitive with plain CE (its advantage grows in the long memorization
-    regime; non-inferiority is the stable short-run property)."""
+def test_coteaching_beats_plain_ce_in_memorization_regime(noisy_world):
+    """THE co-teaching claim (Han et al., the reference's core algorithm):
+    plain CE peaks early then memorizes the 45% wrong labels, while
+    co-teaching's small-loss selection keeps it near its peak. Measured here
+    (fixed keys, deterministic): CE 0.934 @100ep -> 0.794 @300ep; CT stays
+    ~0.83 at both horizons and ends ahead."""
     g, data, mat, clean, tr = noisy_world
-    acc_ct, _ = _train(g, data, mat, tr, "coteaching")
-    acc_ce, _ = _train(g, data, mat, tr, "normal")
-    assert acc_ct > acc_ce - 0.08, f"ct={acc_ct:.3f} ce={acc_ce:.3f}"
+    ce_100, _ = _train(g, data, mat, tr, "normal", epochs=100)
+    ce_300, _ = _train(g, data, mat, tr, "normal", epochs=300)
+    ct_100, _ = _train(g, data, mat, tr, "coteaching", epochs=100)
+    ct_300, _ = _train(g, data, mat, tr, "coteaching", epochs=300)
+    # CE memorizes: final accuracy decays well below its early peak
+    assert ce_300 < ce_100 - 0.05, f"ce 100ep={ce_100:.3f} 300ep={ce_300:.3f}"
+    # co-teaching is stable across the same horizon
+    assert ct_300 > ct_100 - 0.05, f"ct 100ep={ct_100:.3f} 300ep={ct_300:.3f}"
+    # and wins where it is designed to: the long/memorization regime
+    assert ct_300 > ce_300, f"ct={ct_300:.3f} ce={ce_300:.3f}"
 
 
 def test_backward_correction_noninferior_to_plain_ce(noisy_world):

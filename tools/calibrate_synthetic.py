@@ -108,20 +108,41 @@ def train_eval(g, *, epochs: int, hidden: int, lr: float, seed: int = 0) -> floa
 
 
 def probe(name: str, fnoise: float, scale: int, epochs: int, hidden: int,
-          lr: float) -> float:
+          lr: float, via_cli: bool = False) -> float:
     from noise_gnn_tpu.graph import datasets as D
 
     prof = D.DATASET_REGISTRY[name]
     old = prof
     D.DATASET_REGISTRY[name] = dataclasses.replace(prof, feature_noise=fnoise)
     try:
-        with tempfile.TemporaryDirectory() as td:
-            g = D.load_network({
-                "dataset_name": name, "seed": 0, "synthetic_scale": scale,
-                "data_dir": td,
-            })
         t0 = time.time()
-        acc = train_eval(g, epochs=epochs, hidden=hidden, lr=lr)
+        if via_cli:
+            # products-scale: full-batch jax.grad on one chip would blow HBM;
+            # use the real pipeline (mini-batch train + full-graph eval) with
+            # zero injected noise so 'baseline' accuracy = clean-label band
+            import main as cli
+            from noise_gnn_tpu.utils.config import load_config
+
+            base = {"ogbn-products": "config_products.yml",
+                    "ogbn-arxiv": "config_arxiv.yml"}[name]
+            cfg = load_config(os.path.join("configs", base))
+            with tempfile.TemporaryDirectory() as td:
+                cfg.update(dict(
+                    dataset_name=name, train_type="baseline",
+                    compare_loss="normal", noise_rate=0.0, noise_type="sym",
+                    num_runs=1, max_epochs=epochs, synthetic_scale=scale,
+                    data_dir=td, batch_id=98, epoch_logger=False,
+                    exact_leaf=True, what="", module="sage",
+                    module_compare="sage",
+                ))
+                acc = float(cli.main(cfg)["baseline"][0])
+        else:
+            with tempfile.TemporaryDirectory() as td:
+                g = D.load_network({
+                    "dataset_name": name, "seed": 0, "synthetic_scale": scale,
+                    "data_dir": td,
+                })
+            acc = train_eval(g, epochs=epochs, hidden=hidden, lr=lr)
         log(f"  {name} f={fnoise:.3f} -> test {acc:.3f}  ({time.time()-t0:.0f}s)")
         return acc
     finally:
@@ -137,6 +158,13 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--iters", type=int, default=5, help="bisection steps")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cli", action="store_true",
+                    help="probe via the real pipeline (mini-batch train + "
+                         "full-graph eval); required at ogbn-products scale")
+    ap.add_argument("--lo", type=float, default=0.2)
+    ap.add_argument("--hi", type=float, default=8.0,
+                    help="raise for dense graphs (deg ~25 aggregation "
+                         "suppresses feature noise ~5x per hop)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -146,12 +174,12 @@ def main():
 
     for name in args.datasets:
         target = TARGETS[name]
-        lo, hi = 0.2, 8.0  # acc(lo) high, acc(hi) low
+        lo, hi = args.lo, args.hi  # acc(lo) high, acc(hi) low
         log(f"== {name} target {target:.2f} (scale {args.scale})")
         for _ in range(args.iters):
             mid = (lo * hi) ** 0.5  # geometric bisection
             acc = probe(name, mid, args.scale, args.epochs, args.hidden,
-                        args.lr)
+                        args.lr, via_cli=args.cli)
             if acc > target:
                 lo = mid  # too easy -> more noise
             else:
