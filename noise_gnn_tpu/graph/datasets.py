@@ -51,11 +51,17 @@ class DatasetProfile:
 # Real-dataset statistics; synthetic fallback reproduces these (optionally
 # scaled down via config['synthetic_scale'] > 1).
 DATASET_REGISTRY: dict[str, DatasetProfile] = {
-    "cora": DatasetProfile(19793, 8710, 70, 126842, 0.80, "per_class_20_30", 2.5),
-    "pubmed": DatasetProfile(19717, 500, 3, 88648, 0.80, "public", 2.5),
-    "computers": DatasetProfile(13752, 767, 10, 491722, 0.78, "per_class_30_20", 2.5),
-    "ogbn-arxiv": DatasetProfile(169343, 128, 40, 1166243, 0.65, "ogb", 4.0),
-    "ogbn-products": DatasetProfile(2449029, 100, 47, 61859140, 0.81, "ogb", 3.0),
+    # feature_noise calibrated by tools/calibrate_synthetic.py (clean-label
+    # 2-layer SAGE lands in the real dataset's accuracy band; measured
+    # 2026-08-19): cora 0.66 (band ~0.62), pubmed 0.73-0.79 (~0.77),
+    # computers 0.77-0.83 (~0.82), arxiv ~0.71, products 0.78-0.82 (~0.78).
+    # products' dense graph (deg ~25) suppresses feature noise ~5x per
+    # aggregation hop, hence its much larger value.
+    "cora": DatasetProfile(19793, 8710, 70, 126842, 0.80, "per_class_20_30", 0.45),
+    "pubmed": DatasetProfile(19717, 500, 3, 88648, 0.80, "public", 0.36),
+    "computers": DatasetProfile(13752, 767, 10, 491722, 0.78, "per_class_30_20", 0.90),
+    "ogbn-arxiv": DatasetProfile(169343, 128, 40, 1166243, 0.65, "ogb", 1.70),
+    "ogbn-products": DatasetProfile(2449029, 100, 47, 61859140, 0.81, "ogb", 33.78),
 }
 
 
