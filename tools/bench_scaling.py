@@ -11,6 +11,12 @@ can still validate the mechanics with virtual devices:
 correctness of the harness, not hardware scaling).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 from __future__ import annotations
 
 import argparse

@@ -16,6 +16,12 @@ noise-gnn-tpu regenerates them with the reference's per-class quotas
 (graph/splits.py).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 from __future__ import annotations
 
 import argparse

@@ -3,6 +3,12 @@
     python tools/plot_metrics.py out/metrics/<run>.jsonl [-o plot.png]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 
 from noise_gnn_tpu.utils.plotting import plot_metrics_file
