@@ -22,6 +22,8 @@ from dataclasses import dataclass, field
 import jax
 import jax.numpy as jnp
 
+from ..ops.scatter import fast_take
+
 from .layers import (
     batch_norm,
     batch_norm_init,
@@ -236,7 +238,7 @@ def apply(
             spec, params, x, edge_index, n, edge_mask, train, k1
         )
         noise = params["noise"]
-        nr = jnp.take(noise, n_id, axis=0) if n_id is not None else noise[: x.shape[0]]
+        nr = fast_take(noise, n_id) if n_id is not None else noise[: x.shape[0]]
         x_noisy = x + (_l2_normalize_rows(nr) * noise_rate).astype(x.dtype)
         z_noisy, h_noisy = _stack_forward(
             spec, params, x_noisy, edge_index, n, edge_mask, train, k2
@@ -348,7 +350,7 @@ def apply_tree(
         z_pure, h_pure = _stack_forward_tree(spec, params, xs, masks, fanouts, train, k1)
         noise = params["noise"]
         xs_noisy = [
-            x + (_l2_normalize_rows(jnp.take(noise, nid, axis=0)) * noise_rate).astype(x.dtype)
+            x + (_l2_normalize_rows(fast_take(noise, nid)) * noise_rate).astype(x.dtype)
             for x, nid in zip(xs, n_ids)
         ]
         z_noisy, h_noisy = _stack_forward_tree(

@@ -7,6 +7,7 @@ scatter-mean message passing, the C++ fanout neighbor sampler behind
 """
 
 from .scatter import (
+    fast_take,
     gather_scatter_max,
     segment_sum,
     segment_mean,
@@ -20,6 +21,7 @@ from .sddmm import sddmm_cosine, blockwise_topk
 from .leaf_agg import precompute_leaf_agg, leaf_agg_eligible
 
 __all__ = [
+    "fast_take",
     "precompute_leaf_agg",
     "leaf_agg_eligible",
     "gather_scatter_max",

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.containers import CSRGraph
+from .scatter import fast_take
 
 Array = jax.Array
 
@@ -47,7 +48,7 @@ class TreeBatch(NamedTuple):
     batch_size: int
 
     def gather_features(self, x: Array) -> list[Array]:
-        return [jnp.take(x, ids, axis=0) for ids in self.n_ids]
+        return [fast_take(x, ids) for ids in self.n_ids]
 
     @property
     def num_sub_nodes(self) -> int:
@@ -96,8 +97,8 @@ def _sample_one_hop(
     Returns (children [N*f], child_mask [N*f]) in child-major order
     (children of frontier[i] occupy slots i*f .. (i+1)*f - 1)."""
     n = frontier.shape[0]
-    start = jnp.take(indptr, frontier)
-    deg = jnp.take(indptr, frontier + 1) - start
+    start = fast_take(indptr, frontier)
+    deg = fast_take(indptr, frontier + 1) - start
     u = jax.random.uniform(key, (n, fanout))
     off_rep = jnp.floor(u * deg[:, None]).astype(jnp.int32)
     off_seq = jnp.broadcast_to(jnp.arange(fanout, dtype=jnp.int32), (n, fanout))
@@ -105,7 +106,7 @@ def _sample_one_hop(
     off = jnp.where(take_all, off_seq, off_rep)
     valid = frontier_mask[:, None] & (off < deg[:, None])
     off = jnp.minimum(off, jnp.maximum(deg - 1, 0)[:, None])
-    children = jnp.take(indices, start[:, None] + off)
+    children = fast_take(indices, start[:, None] + off)
     children = jnp.where(valid, children, 0)
     return children.reshape(-1), valid.reshape(-1)
 

@@ -20,6 +20,26 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# XLA's TPU gather emits a ~1.5-2x slower loop when the (flattened) index
+# count is divisible by 1024 (measured on v5e: 74-93 vs 120-150 M idx/s at
+# training-batch shapes). Dodge it by gathering 512 extra wrapped indices
+# and slicing them back off; the barrier keeps the simplifier from folding
+# the slice into the gather. Only worth it above a few thousand rows.
+_FAST_TAKE_MIN = 8192
+
+
+def fast_take(x: Array, idx: Array, axis: int = 0) -> Array:
+    """``jnp.take`` that avoids XLA's slow TPU gather path at %1024 counts."""
+    if axis != 0:
+        return jnp.take(x, idx, axis=axis)
+    n = int(idx.size)
+    if n < _FAST_TAKE_MIN or n % 1024:
+        return jnp.take(x, idx, axis=0)
+    flat = idx.reshape(-1)
+    padded = jnp.concatenate([flat, flat[:512]])
+    out = jax.lax.optimization_barrier(jnp.take(x, padded, axis=0))[:n]
+    return out.reshape(idx.shape + x.shape[1:])
+
 
 def segment_sum(data: Array, segment_ids: Array, num_segments: int) -> Array:
     """Sum `data` rows into `num_segments` buckets. fp32 accumulation."""
@@ -93,7 +113,7 @@ def _chunked_scatter_sum(x: Array, src: Array, dst: Array, num_nodes: int) -> Ar
     def body(i, acc):
         s = jax.lax.dynamic_slice_in_dim(src_p, i * chunk, chunk)
         d = jax.lax.dynamic_slice_in_dim(dst_p, i * chunk, chunk)
-        msgs = jnp.take(x, s, axis=0).astype(acc_dtype)
+        msgs = fast_take(x, s).astype(acc_dtype)
         return acc.at[d].add(msgs)
 
     acc = jnp.zeros((num_nodes + 1, x.shape[1]), acc_dtype)
@@ -115,7 +135,7 @@ def gather_scatter_sum(
     src, dst, _ = _apply_edge_mask(src, dst, edge_mask, num_nodes)
     if src.shape[0] * x.shape[1] > _CHUNK_THRESHOLD_ELEMS:
         return _chunked_scatter_sum(x, src, dst, num_nodes)
-    msgs = jnp.take(x, src, axis=0)
+    msgs = fast_take(x, src)
     out = segment_sum(msgs, dst, num_nodes + 1)
     return out[:num_nodes]
 
@@ -129,7 +149,7 @@ def gather_scatter_mean(
     if src.shape[0] * x.shape[1] > _CHUNK_THRESHOLD_ELEMS:
         total = _chunked_scatter_sum(x, src, dst, num_nodes)
     else:
-        total = segment_sum(jnp.take(x, src, axis=0), dst, num_nodes + 1)[:num_nodes]
+        total = segment_sum(fast_take(x, src), dst, num_nodes + 1)[:num_nodes]
     count = segment_count(dst, num_nodes + 1)[:num_nodes]
     return (total.astype(jnp.float32) / jnp.maximum(count, 1.0)[:, None]).astype(x.dtype)
 
@@ -143,7 +163,7 @@ def gather_scatter_max(
     src, dst, _ = _apply_edge_mask(src, dst, edge_mask, num_nodes)
     if src.shape[0] * x.shape[1] > _CHUNK_THRESHOLD_ELEMS:
         return _chunked_scatter_max(x, src, dst, num_nodes)
-    msgs = jnp.take(x, src, axis=0)
+    msgs = fast_take(x, src)
     out = jax.ops.segment_max(msgs, dst, num_segments=num_nodes + 1)[:num_nodes]
     return jnp.where(jnp.isfinite(out), out, 0)
 
@@ -160,7 +180,7 @@ def _chunked_scatter_max(x: Array, src: Array, dst: Array, num_nodes: int) -> Ar
     def body(i, acc):
         s = jax.lax.dynamic_slice_in_dim(src_p, i * chunk, chunk)
         d = jax.lax.dynamic_slice_in_dim(dst_p, i * chunk, chunk)
-        return acc.at[d].max(jnp.take(x, s, axis=0))
+        return acc.at[d].max(fast_take(x, s))
 
     acc = jnp.full((num_nodes + 1, x.shape[1]), -jnp.inf, x.dtype)
     acc = jax.lax.fori_loop(0, nchunks, body, acc)

@@ -15,6 +15,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.scatter import fast_take
 import numpy as np
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
@@ -34,7 +36,7 @@ def shard_edges(edge_index: np.ndarray, n_shards: int):
 
 def _local_partial(x, src, dst, mask, num_nodes):
     dst = jnp.where(mask, dst, num_nodes)
-    msgs = jnp.take(x, src, axis=0)
+    msgs = fast_take(x, src)
     total = segment_sum(msgs, dst, num_nodes + 1)[:num_nodes]
     count = segment_count(dst, num_nodes + 1)[:num_nodes]
     return total, count

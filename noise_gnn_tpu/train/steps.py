@@ -37,6 +37,7 @@ from ..losses.contrastive import (
 )
 from ..models import nets
 from ..ops.sampler import sample_khop_tree
+from ..ops.scatter import fast_take
 
 Array = jax.Array
 
@@ -66,8 +67,8 @@ def _sample_tree(key, data: GraphData, seeds, mask, fanouts, exact_leaf: bool):
     if not exact_leaf:
         return tb, tb.gather_features(data.x), None
     f = data.x.shape[-1]
-    xs = [jnp.take(data.x, ids, axis=0) for ids in tb.n_ids[:-1]]
-    fused = jnp.take(data.leaf_agg, tb.n_ids[-1], axis=0)
+    xs = [fast_take(data.x, ids) for ids in tb.n_ids[:-1]]
+    fused = fast_take(data.leaf_agg, tb.n_ids[-1])
     xs.append(fused[:, :f])
     la = jnp.where(tb.masks[-1][:, None], fused[:, f:], 0)
     return tb, xs, la
