@@ -16,7 +16,9 @@ from .contrastive import (
     kl_divergence,
     jensen_shannon,
     discriminator_innerprod,
+    discriminator_innerprod2,
     bce_expert_loss,
+    bce_expert_loss2,
     topk_accuracy,
 )
 from .schedules import forget_rate_schedule
@@ -38,5 +40,7 @@ __all__ = [
     "discriminator_innerprod",
     "bce_expert_loss",
     "topk_accuracy",
+    "discriminator_innerprod2",
+    "bce_expert_loss2",
     "forget_rate_schedule",
 ]
