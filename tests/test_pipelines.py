@@ -127,3 +127,61 @@ def test_determinism_same_seed_same_run(tmp_path):
     assert r1 == r2
     r3 = PipelineS(tiny_config(tmp_path, train_type="nalgo", seed=8)).loop()
     assert r3 != r1  # different seed takes a different trajectory
+
+
+def test_pipeline_te_ogb(tmp_path):
+    """TE = the OGB variant of the sagePL co-teaching+contrastive pipeline
+    (reference src/pipeline_test.py): official-style split + rewire phase."""
+    from noise_gnn_tpu.train.pipelines import PipelineTE
+
+    cfg = tiny_config(tmp_path, dataset_name="ogbn-arxiv",
+                      synthetic_scale=120, module="sagePL",
+                      train_type="nalgo", algo_type="coteaching", what="_test3",
+                      ct_tk=1, max_epochs=3, batch_size=64,
+                      spl_rewire_rate=0.02)
+    res = PipelineTE(cfg).loop()
+    assert np.isfinite(res[0])
+
+
+def test_main_dispatch_table():
+    """algo_type x what x dataset -> pipeline class (reference main.py:21-44)."""
+    import main as climain
+
+    cases = [
+        (dict(algo_type="coteaching", what="", dataset_name="ogbn-arxiv"), "PipelineCO"),
+        (dict(algo_type="codi", what="", dataset_name="cora"), "PipelineS"),
+        (dict(algo_type="coteaching", what="_test2", dataset_name="ogbn-products"), "PipelineTE"),
+        (dict(algo_type="codi", what="_test3", dataset_name="pubmed"), "PipelineTES"),
+        (dict(algo_type="ctp", dataset_name="cora"), "PipelineCTP"),
+        (dict(algo_type="contrastive", dataset_name="cora"), "PipelineCT"),
+        (dict(algo_type="grid", dataset_name="cora"), "PipelineSG"),
+        (dict(algo_type="analysis", dataset_name="cora"), "PipelineA"),
+        (dict(algo_type="hpseudo", dataset_name="cora"), "PipelineH"),
+        (dict(algo_type="baseline", dataset_name="computers"), "PipelineS"),
+    ]
+    calls = []
+
+    class Spy:
+        def __init__(self, name):
+            self.name = name
+
+        def __call__(self, cfg):
+            calls.append(self.name)
+            return type("P", (), {"loop": lambda self: None})()
+
+    saved = {}
+    names = ["PipelineA", "PipelineCO", "PipelineCT", "PipelineCTP",
+             "PipelineH", "PipelineS", "PipelineSG", "PipelineTE",
+             "PipelineTES"]
+    for nm in names:
+        saved[nm] = getattr(climain, nm)
+        setattr(climain, nm, Spy(nm))
+    try:
+        for cfg, expect in cases:
+            climain.main(dict(cfg))
+            assert calls[-1] == expect, (cfg, calls[-1], expect)
+        with pytest.raises(ValueError):
+            climain.main(dict(algo_type="nope", dataset_name="cora"))
+    finally:
+        for nm in names:
+            setattr(climain, nm, saved[nm])
