@@ -63,6 +63,9 @@ def test_multi_group_split():
     out = op(x, interpret=True)
     want = gather_scatter_mean(x, jnp.asarray(ei), 3000)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4, atol=1e-4)
+    # single-dispatch whole-op form: all groups write one aliased buffer
+    out2 = op.apply(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
 def test_isolated_nodes_and_empty_blocks():
