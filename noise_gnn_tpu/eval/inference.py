@@ -97,9 +97,12 @@ class FullGraphInference:
 
     def _agg(self, x: Array, mean: bool, parts=None) -> Array:
         if self.backend == "pallas":
+            # out_dtype=x.dtype: the kernel accumulates in f32 and casts at
+            # the flush DMA, so a bf16 compute dtype halves the flush +
+            # group-concat HBM traffic with identical downstream values.
             return self._spmm._traced(
-                _pad_cols(x), parts, mean, False
-            )[:, : x.shape[-1]].astype(x.dtype)
+                _pad_cols(x), parts, mean, False, out_dtype=x.dtype
+            )[:, : x.shape[-1]]
         if mean:
             return gather_scatter_mean(x, self._edge_index, self.num_nodes)
         return gather_scatter_sum(x, self._edge_index, self.num_nodes)

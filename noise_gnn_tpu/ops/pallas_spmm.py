@@ -46,7 +46,8 @@ GATHER_PAD = 512
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_nodes", "feat", "mean", "interpret")
+    jax.jit,
+    static_argnames=("num_nodes", "feat", "mean", "interpret", "out_dtype"),
 )
 def _spmm_call(
     x: Array,
@@ -62,6 +63,7 @@ def _spmm_call(
     feat: int,
     mean: bool,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ):
     # XLA gather into block-aligned dst order (padding src=0 rows are
     # gathered but never matched by the -1 padding dst)
@@ -69,6 +71,7 @@ def _spmm_call(
     return _spmm_call_pregathered(
         msgs, dst_blk, blk, ch, first, last, act,
         num_nodes=num_nodes, feat=feat, mean=mean, interpret=interpret,
+        out_dtype=out_dtype,
     )
 
 
@@ -132,13 +135,15 @@ def _reduce_kernel_chunked(
     msgs_ref,  # [G, F] gathered messages of this chunk
     dst_ref,  # [G] int32 dst of this chunk (-1 padding)
     # output (HBM; written by explicit flush DMAs)
-    out_hbm,  # [n_pad, F] f32
+    out_hbm,  # [n_pad, F] f32 or bf16
     # scratch: block accumulators ring (parity of the block index), so the
     # flush DMA of block b overlaps the accumulation of block b+1
     acc_a,  # [R, F] f32
     acc_b,  # [R, F] f32
     cnt_a,  # [R, 1] f32 in-degree counts (mean only)
     cnt_b,  # [R, 1] f32
+    cast_a,  # [R, F] out-dtype flush staging (accumulation stays f32; a
+    cast_b,  # bf16 output halves the flush-DMA + downstream concat traffic)
     sem_a,  # flush DMA semaphores
     sem_b,
     *,
@@ -170,16 +175,19 @@ def _reduce_kernel_chunked(
     )
     cnt_c = jnp.sum(onehot_t.astype(jnp.float32), axis=1, keepdims=True)
 
-    def flush(acc, sem, blk_i):
+    cast_out = out_hbm.dtype != jnp.float32
+
+    def flush(acc, cast, sem, blk_i):
+        src = cast if cast_out else acc
         return pltpu.make_async_copy(
-            acc, out_hbm.at[pl.ds(blk_i * r, r), :], sem
+            src, out_hbm.at[pl.ds(blk_i * r, r), :], sem
         )
 
-    for par, (acc, cnt, sem) in enumerate(
-        ((acc_a, cnt_a, sem_a), (acc_b, cnt_b, sem_b))
+    for par, (acc, cnt, cast, sem) in enumerate(
+        ((acc_a, cnt_a, cast_a, sem_a), (acc_b, cnt_b, cast_b, sem_b))
     ):
         @pl.when((act_ref[c] == 1) & (jax.lax.rem(b, 2) == par))
-        def _(acc=acc, cnt=cnt, sem=sem):
+        def _(acc=acc, cnt=cnt, cast=cast, sem=sem):
             @pl.when(first_ref[c] == 1)
             def _():
                 # this parity's previous flush (block b-2) must finish
@@ -187,7 +195,7 @@ def _reduce_kernel_chunked(
                 if nblocks > 2:
                     @pl.when(b >= 2)
                     def _():
-                        flush(acc, sem, b - 2).wait()
+                        flush(acc, cast, sem, b - 2).wait()
                 acc[:] = contrib
                 if mean:
                     cnt[:] = cnt_c
@@ -202,19 +210,22 @@ def _reduce_kernel_chunked(
             def _():
                 if mean:
                     acc[:] = acc[:] / jnp.maximum(cnt[:], 1.0)
-                flush(acc, sem, b).start()
+                if cast_out:
+                    cast[:] = acc[:].astype(out_hbm.dtype)
+                flush(acc, cast, sem, b).start()
 
     # drain: the final grid step is always an inactive padding chunk (the
     # schedule is padded by at least one), so every flush has been started
     @pl.when(c == ctot - 1)
     def _():
-        flush(acc_a, sem_a, 0).wait()
+        flush(acc_a, cast_a, sem_a, 0).wait()
         if nblocks >= 2:
-            flush(acc_b, sem_b, 0).wait()
+            flush(acc_b, cast_b, sem_b, 0).wait()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_nodes", "feat", "mean", "interpret")
+    jax.jit,
+    static_argnames=("num_nodes", "feat", "mean", "interpret", "out_dtype"),
 )
 def _spmm_call_pregathered(
     msgs: Array,
@@ -229,6 +240,7 @@ def _spmm_call_pregathered(
     feat: int,
     mean: bool,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ):
     """Grid-pipelined segment reduction over pre-gathered messages.
 
@@ -241,6 +253,9 @@ def _spmm_call_pregathered(
     ~10x off this schedule (15.4 us vs ~1.5 us per chunk on v5e)."""
     n_pad = num_nodes
     nblocks = n_pad // ROW_BLOCK
+    out_dtype = jnp.dtype(out_dtype)
+    # flush staging only needed when casting; keep a minimal buffer otherwise
+    cast_shape = (ROW_BLOCK, feat) if out_dtype != jnp.float32 else (8, LANES)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(blk.shape[0],),
@@ -256,13 +271,15 @@ def _spmm_call_pregathered(
             pltpu.VMEM((ROW_BLOCK, feat), jnp.float32),
             pltpu.VMEM((ROW_BLOCK, 1), jnp.float32),
             pltpu.VMEM((ROW_BLOCK, 1), jnp.float32),
+            pltpu.VMEM(cast_shape, out_dtype),
+            pltpu.VMEM(cast_shape, out_dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         functools.partial(_reduce_kernel_chunked, mean=mean, nblocks=nblocks),
-        out_shape=jax.ShapeDtypeStruct((n_pad, feat), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, feat), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -367,7 +384,8 @@ class PallasSpmm:
             for src_g, dst_g, maps in raw
         ]
 
-    def __call__(self, x: Array, mean: bool = True, interpret: bool = False) -> Array:
+    def __call__(self, x: Array, mean: bool = True, interpret: bool = False,
+                 out_dtype=jnp.float32) -> Array:
         n, f = x.shape
         assert n == self.num_nodes and f % LANES == 0
         outs = []
@@ -378,16 +396,19 @@ class PallasSpmm:
             out = _spmm_call(
                 x, src_g, dst_g, *maps,
                 num_nodes=self._g_nblocks * ROW_BLOCK, feat=f, mean=mean,
-                interpret=interpret,
+                interpret=interpret, out_dtype=out_dtype,
             )
             outs.append(out[:rows])
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
-    def _traced(self, x: Array, parts, mean: bool, interpret: bool) -> Array:
+    def _traced(self, x: Array, parts, mean: bool, interpret: bool,
+                out_dtype=jnp.float32) -> Array:
         """All super-groups inside one trace: gathers, reduce kernels, and
         the output concat compile into ONE executable — no per-group host
         dispatch (measured ~3 ms/launch through a dev tunnel) and no
-        intermediate device round-trips."""
+        intermediate device round-trips. ``out_dtype=bfloat16`` casts at the
+        flush DMA (accumulation stays f32), halving flush + concat traffic
+        for consumers that run in bf16 anyway (eval/inference.py)."""
         f = x.shape[-1]
         outs = []
         for (b0, b1, _, _), (src_g, dst_g, maps) in zip(self._groups, parts):
@@ -396,12 +417,13 @@ class PallasSpmm:
             out = _spmm_call_pregathered(
                 msgs, dst_g, *maps,
                 num_nodes=self._g_nblocks * ROW_BLOCK, feat=f, mean=mean,
-                interpret=interpret,
+                interpret=interpret, out_dtype=out_dtype,
             )
             outs.append(out[:rows])
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
-    def apply(self, x: Array, mean: bool = True, interpret: bool = False) -> Array:
+    def apply(self, x: Array, mean: bool = True, interpret: bool = False,
+              out_dtype=jnp.float32) -> Array:
         """Single-dispatch whole-op application (one jit over all groups).
 
         Group edge/schedule arrays travel as ARGUMENTS, not closed-over
@@ -409,10 +431,11 @@ class PallasSpmm:
         remote-compile payload and fail)."""
         n, f = x.shape
         assert n == self.num_nodes and f % LANES == 0
-        key = (f, x.dtype, mean, interpret)
+        key = (f, x.dtype, mean, interpret, jnp.dtype(out_dtype))
         if getattr(self, "_jfn_key", None) != key:
             self._jfn = jax.jit(
-                functools.partial(self._traced, mean=mean, interpret=interpret)
+                functools.partial(self._traced, mean=mean, interpret=interpret,
+                                  out_dtype=out_dtype)
             )
             self._jfn_key = key
         return self._jfn(x, self._parts)

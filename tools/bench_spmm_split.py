@@ -1,0 +1,116 @@
+"""Split the hybrid SpMM into gather-only vs reduce-only timings.
+
+The full-graph SpMM (ops/pallas_spmm.py) is two serial stages under one jit:
+XLA gather into block-aligned order, then the Pallas one-hot reduce. bench.py
+times the whole op; this tool times each stage separately at bench shapes so
+optimization effort goes where the time is.
+
+Usage: python tools/bench_spmm_split.py [--nodes N --edges E --feat F]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def fetch_time(fn, iters=5):
+    float(fn())
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--nodes", type=int, default=1_000_000)
+    ap.add_argument("--edges", type=int, default=32_000_000)
+    ap.add_argument("--feat", type=int, default=256)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    from noise_gnn_tpu.utils.memory import configure_malloc
+
+    configure_malloc()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from noise_gnn_tpu.ops import pallas_spmm as ps
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind}, platform: {dev.platform}")
+
+    n, e, f = args.nodes, args.edges, args.feat
+    deg = e // n
+    e = deg * n
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (n, f), jnp.dtype(args.dtype))
+
+    # same graph construction as bench.py: uniform-degree CSR, random srcs
+    indptr_np = np.arange(n + 1, dtype=np.int64) * deg
+    indices = jax.random.randint(jax.random.key(1), (e,), 0, n, jnp.int32)
+    t0 = time.perf_counter()
+    op = ps.PallasSpmmDevice(indptr_np, indices, n)
+    jax.block_until_ready(op._parts[0][0])
+    log(f"pack: {time.perf_counter() - t0:.1f}s, groups={len(op._groups)}, "
+        f"g_edges={op._g_edges}, g_nblocks={op._g_nblocks}")
+
+    # whole op (one jit)
+    t = fetch_time(lambda: op.apply(x).sum(dtype=jnp.float32), args.iters)
+    log(f"whole op:     {t * 1e3:8.1f} ms  -> {e / t / 1e6:6.1f} M edges/s")
+
+    # gather-only: same jnp.take calls as _traced, reduce replaced by a sum
+    def gathers(x, parts):
+        s = jnp.float32(0)
+        for src_g, _, _ in parts:
+            s += jnp.take(x, src_g, axis=0).sum(dtype=jnp.float32)
+        return s
+
+    g = jax.jit(gathers)
+    t_g = fetch_time(lambda: g(x, op._parts), args.iters)
+    n_idx = sum(p[0].shape[0] for p in op._parts)
+    log(f"gather only:  {t_g * 1e3:8.1f} ms  -> {n_idx / t_g / 1e6:6.1f} M idx/s")
+
+    # reduce-only: pre-gathered messages resident per group
+    msgs = [jnp.take(x, src_g, axis=0) for src_g, _, _ in op._parts]
+    jax.block_until_ready(msgs)
+
+    def reduces(msgs, parts):
+        s = jnp.float32(0)
+        for m, (_, dst_g, maps) in zip(msgs, parts):
+            out = ps._spmm_call_pregathered(
+                m, dst_g, *maps,
+                num_nodes=op._g_nblocks * ps.ROW_BLOCK, feat=f, mean=True,
+            )
+            s += out.sum(dtype=jnp.float32)
+        return s
+
+    r = jax.jit(reduces)
+    t_r = fetch_time(lambda: r(msgs, op._parts), args.iters)
+    nchunks = sum(p[2][0].shape[0] for p in op._parts)
+    log(f"reduce only:  {t_r * 1e3:8.1f} ms  -> {e / t_r / 1e6:6.1f} M edges/s"
+        f"  ({t_r / nchunks * 1e6:.2f} us/chunk, {nchunks} chunks)")
+    log(f"gather+reduce serial sum: {(t_g + t_r) * 1e3:.1f} ms "
+        f"(whole-op overhead: {(t - t_g - t_r) * 1e3:+.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()
