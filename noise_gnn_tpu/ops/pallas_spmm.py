@@ -53,6 +53,7 @@ def _spmm_call(
     x: Array,
     src_blk: Array,
     dst_blk: Array,
+    deginv: Array,
     blk: Array,
     ch: Array,
     first: Array,
@@ -69,7 +70,7 @@ def _spmm_call(
     # gathered but never matched by the -1 padding dst)
     msgs = jnp.take(x, src_blk, axis=0)
     return _spmm_call_pregathered(
-        msgs, dst_blk, blk, ch, first, last, act,
+        msgs, dst_blk, deginv, blk, ch, first, last, act,
         num_nodes=num_nodes, feat=feat, mean=mean, interpret=interpret,
         out_dtype=out_dtype,
     )
@@ -131,17 +132,16 @@ def _reduce_kernel_chunked(
     first_ref,  # [C] int32 1 on a block's first chunk
     last_ref,  # [C] int32 1 on a block's last chunk
     act_ref,  # [C] int32 0 on grid-padding chunks
-    # inputs (msgs/dst auto-pipelined VMEM blocks)
+    # inputs (msgs/dst/deginv auto-pipelined VMEM blocks)
     msgs_ref,  # [G, F] gathered messages of this chunk
     dst_ref,  # [G] int32 dst of this chunk (-1 padding)
+    deginv_ref,  # [R, 1] f32 1/max(in-degree, 1) of this chunk's block
     # output (HBM; written by explicit flush DMAs)
     out_hbm,  # [n_pad, F] f32 or bf16
     # scratch: block accumulators ring (parity of the block index), so the
     # flush DMA of block b overlaps the accumulation of block b+1
     acc_a,  # [R, F] f32
     acc_b,  # [R, F] f32
-    cnt_a,  # [R, 1] f32 in-degree counts (mean only)
-    cnt_b,  # [R, 1] f32
     cast_a,  # [R, F] out-dtype flush staging (accumulation stays f32; a
     cast_b,  # bf16 output halves the flush-DMA + downstream concat traffic)
     sem_a,  # flush DMA semaphores
@@ -173,7 +173,6 @@ def _reduce_kernel_chunked(
             else jax.lax.Precision.DEFAULT
         ),
     )
-    cnt_c = jnp.sum(onehot_t.astype(jnp.float32), axis=1, keepdims=True)
 
     cast_out = out_hbm.dtype != jnp.float32
 
@@ -183,11 +182,11 @@ def _reduce_kernel_chunked(
             src, out_hbm.at[pl.ds(blk_i * r, r), :], sem
         )
 
-    for par, (acc, cnt, cast, sem) in enumerate(
-        ((acc_a, cnt_a, cast_a, sem_a), (acc_b, cnt_b, cast_b, sem_b))
+    for par, (acc, cast, sem) in enumerate(
+        ((acc_a, cast_a, sem_a), (acc_b, cast_b, sem_b))
     ):
         @pl.when((act_ref[c] == 1) & (jax.lax.rem(b, 2) == par))
-        def _(acc=acc, cnt=cnt, cast=cast, sem=sem):
+        def _(acc=acc, cast=cast, sem=sem):
             @pl.when(first_ref[c] == 1)
             def _():
                 # this parity's previous flush (block b-2) must finish
@@ -197,19 +196,18 @@ def _reduce_kernel_chunked(
                     def _():
                         flush(acc, cast, sem, b - 2).wait()
                 acc[:] = contrib
-                if mean:
-                    cnt[:] = cnt_c
 
             @pl.when(first_ref[c] == 0)
             def _():
                 acc[:] += contrib
-                if mean:
-                    cnt[:] += cnt_c
 
             @pl.when(last_ref[c] == 1)
             def _():
+                # mean divide uses the PACK-TIME degree (the one-hot matches
+                # exactly a row's in-degree edges, all within this block), so
+                # no per-chunk count reduction is ever computed
                 if mean:
-                    acc[:] = acc[:] / jnp.maximum(cnt[:], 1.0)
+                    acc[:] = acc[:] * deginv_ref[:]
                 if cast_out:
                     cast[:] = acc[:].astype(out_hbm.dtype)
                 flush(acc, cast, sem, b).start()
@@ -230,6 +228,7 @@ def _reduce_kernel_chunked(
 def _spmm_call_pregathered(
     msgs: Array,
     dst_blk: Array,
+    deginv: Array,
     blk: Array,
     ch: Array,
     first: Array,
@@ -264,13 +263,14 @@ def _spmm_call_pregathered(
                 (EDGE_CHUNK, feat), lambda c, blk, ch, fi, la, ac: (ch[c], 0)
             ),
             pl.BlockSpec((EDGE_CHUNK,), lambda c, blk, ch, fi, la, ac: (ch[c],)),
+            pl.BlockSpec(
+                (ROW_BLOCK, 1), lambda c, blk, ch, fi, la, ac: (blk[c], 0)
+            ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((ROW_BLOCK, feat), jnp.float32),
             pltpu.VMEM((ROW_BLOCK, feat), jnp.float32),
-            pltpu.VMEM((ROW_BLOCK, 1), jnp.float32),
-            pltpu.VMEM((ROW_BLOCK, 1), jnp.float32),
             pltpu.VMEM(cast_shape, out_dtype),
             pltpu.VMEM(cast_shape, out_dtype),
             pltpu.SemaphoreType.DMA,
@@ -283,7 +283,7 @@ def _spmm_call_pregathered(
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(blk, ch, first, last, act, msgs, dst_blk)
+    )(blk, ch, first, last, act, msgs, dst_blk, deginv)
     return out
 
 
@@ -358,6 +358,11 @@ class PallasSpmm:
         self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
         self._g_edges = max(e for _, _, _, e in self._groups)
 
+        # pack-time inverse in-degree: the mean divide needs no per-chunk
+        # count reduction in the kernel (every row's edges live in one block)
+        deginv = 1.0 / np.maximum(
+            np.diff(indptr).astype(np.float32), 1.0
+        )
         raw = []
         for b0, b1, e0, e_len in self._groups:
             nb = b1 - b0
@@ -369,19 +374,23 @@ class PallasSpmm:
             dst_g = np.full(self._g_edges, -1, np.int32)
             src_g[:e_len] = src_blk[e0 : e0 + e_len]
             dst_g[:e_len] = dst_blk[e0 : e0 + e_len] - b0 * ROW_BLOCK
+            dg = np.ones(self._g_nblocks * ROW_BLOCK, np.float32)
+            take = deginv[b0 * ROW_BLOCK : (b0 + self._g_nblocks) * ROW_BLOCK]
+            dg[: take.shape[0]] = take
             maps = _chunk_maps(bases, counts, self._g_edges, self._g_nblocks)
-            raw.append((src_g, dst_g, maps))
+            raw.append((src_g, dst_g, dg[:, None], maps))
 
         # +1 guarantees a trailing inactive chunk = the kernel's DMA drain
-        c_pad = max(m[2][0].shape[0] for m in raw) + 1
+        c_pad = max(m[3][0].shape[0] for m in raw) + 1
         self._parts = [
             (
                 jnp.asarray(src_g),
                 jnp.asarray(dst_g),
+                jnp.asarray(dg),
                 tuple(jnp.asarray(a) for a in
                       _pad_chunk_maps(maps, c_pad, self._g_nblocks)),
             )
-            for src_g, dst_g, maps in raw
+            for src_g, dst_g, dg, maps in raw
         ]
 
     def __call__(self, x: Array, mean: bool = True, interpret: bool = False,
@@ -389,12 +398,12 @@ class PallasSpmm:
         n, f = x.shape
         assert n == self.num_nodes and f % LANES == 0
         outs = []
-        for (b0, b1, _, _), (src_g, dst_g, maps) in zip(
+        for (b0, b1, _, _), (src_g, dst_g, dgi, maps) in zip(
             self._groups, self._parts
         ):
             rows = min(b1 * ROW_BLOCK, self.num_nodes) - b0 * ROW_BLOCK
             out = _spmm_call(
-                x, src_g, dst_g, *maps,
+                x, src_g, dst_g, dgi, *maps,
                 num_nodes=self._g_nblocks * ROW_BLOCK, feat=f, mean=mean,
                 interpret=interpret, out_dtype=out_dtype,
             )
@@ -411,11 +420,11 @@ class PallasSpmm:
         for consumers that run in bf16 anyway (eval/inference.py)."""
         f = x.shape[-1]
         outs = []
-        for (b0, b1, _, _), (src_g, dst_g, maps) in zip(self._groups, parts):
+        for (b0, b1, _, _), (src_g, dst_g, dgi, maps) in zip(self._groups, parts):
             rows = min(b1 * ROW_BLOCK, self.num_nodes) - b0 * ROW_BLOCK
             msgs = jnp.take(x, src_g, axis=0)
             out = _spmm_call_pregathered(
-                msgs, dst_g, *maps,
+                msgs, dst_g, dgi, *maps,
                 num_nodes=self._g_nblocks * ROW_BLOCK, feat=f, mean=mean,
                 interpret=interpret, out_dtype=out_dtype,
             )
@@ -509,6 +518,7 @@ class PallasSpmmDevice:
         self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
         self._g_edges = max(e for _, _, _, e in self._groups)
 
+        deginv = (1.0 / np.maximum(deg[:, 0], 1.0)).astype(np.float32)
         raw = []
         for b0, b1, e0, e_len in self._groups:
             nb = b1 - b0
@@ -516,6 +526,9 @@ class PallasSpmmDevice:
                              (0, self._g_nblocks - nb))
             g_counts = np.pad(counts[b0:b1].astype(np.int64),
                               (0, self._g_nblocks - nb))
+            dg = np.ones(self._g_nblocks * ROW_BLOCK, np.float32)
+            take = deginv[b0 * ROW_BLOCK : (b0 + self._g_nblocks) * ROW_BLOCK]
+            dg[: take.shape[0]] = take
             # device-side slice + pad (no host round-trip of edge data)
             src_g = jnp.pad(
                 jax.lax.dynamic_slice_in_dim(
@@ -531,15 +544,15 @@ class PallasSpmmDevice:
             idx = jnp.arange(self._g_edges)
             dst_g = jnp.where(idx < e_len, dst_g - b0 * ROW_BLOCK, -1)
             maps = _chunk_maps(g_bases, g_counts, self._g_edges, self._g_nblocks)
-            raw.append((src_g, dst_g, maps))
+            raw.append((src_g, dst_g, dg[:, None], maps))
 
         # +1 guarantees a trailing inactive chunk = the kernel's DMA drain
-        c_pad = max(m[2][0].shape[0] for m in raw) + 1
+        c_pad = max(m[3][0].shape[0] for m in raw) + 1
         self._parts = [
-            (src_g, dst_g,
+            (src_g, dst_g, jnp.asarray(dg),
              tuple(jnp.asarray(a) for a in
                    _pad_chunk_maps(maps, c_pad, self._g_nblocks)))
-            for src_g, dst_g, maps in raw
+            for src_g, dst_g, dg, maps in raw
         ]
 
     __call__ = PallasSpmm.__call__

@@ -68,6 +68,30 @@ def test_multi_group_split():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_bf16_output_and_device_pack():
+    # out_dtype=bfloat16 casts at the flush DMA (accumulation stays f32);
+    # PallasSpmmDevice packs on device and must agree with the host pack
+    from noise_gnn_tpu.ops.pallas_spmm import PallasSpmmDevice
+
+    ei, csr = make_graph(900, 12000, seed=7)
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((900, 128)), jnp.float32)
+    want = np.asarray(gather_scatter_mean(x, jnp.asarray(ei), 900))
+    for op in (
+        PallasSpmm(np.asarray(csr.indptr), np.asarray(csr.indices), 900),
+        PallasSpmmDevice(np.asarray(csr.indptr, np.int64),
+                         jnp.asarray(csr.indices), 900),
+    ):
+        out = op.apply(x, interpret=True, out_dtype=jnp.bfloat16)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                                   rtol=2e-2, atol=2e-2)
+        outs = op.apply(x, mean=False, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(outs),
+            np.asarray(gather_scatter_sum(x, jnp.asarray(ei), 900)),
+            rtol=1e-4, atol=1e-4)
+
+
 def test_isolated_nodes_and_empty_blocks():
     # only a handful of edges at the start; later row blocks are empty
     n = 1500

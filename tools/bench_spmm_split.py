@@ -80,7 +80,7 @@ def main():
     # gather-only: same jnp.take calls as _traced, reduce replaced by a sum
     def gathers(x, parts):
         s = jnp.float32(0)
-        for src_g, _, _ in parts:
+        for src_g, _, _, _ in parts:
             s += jnp.take(x, src_g, axis=0).sum(dtype=jnp.float32)
         return s
 
@@ -89,27 +89,29 @@ def main():
     n_idx = sum(p[0].shape[0] for p in op._parts)
     log(f"gather only:  {t_g * 1e3:8.1f} ms  -> {n_idx / t_g / 1e6:6.1f} M idx/s")
 
-    # reduce-only: pre-gathered messages resident per group
-    msgs = [jnp.take(x, src_g, axis=0) for src_g, _, _ in op._parts]
-    jax.block_until_ready(msgs)
+    # reduce-only: ONE group's pre-gathered messages (all groups would be
+    # groups x g_edges x F bytes — past HBM at products scale)
+    src_g, dst_g, dgi, maps = op._parts[0]
+    msgs0 = jnp.take(x, src_g, axis=0)
+    jax.block_until_ready(msgs0)
 
-    def reduces(msgs, parts):
-        s = jnp.float32(0)
-        for m, (_, dst_g, maps) in zip(msgs, parts):
-            out = ps._spmm_call_pregathered(
-                m, dst_g, *maps,
-                num_nodes=op._g_nblocks * ps.ROW_BLOCK, feat=f, mean=True,
-            )
-            s += out.sum(dtype=jnp.float32)
-        return s
+    def reduce1(m, dst_g, dgi, maps):
+        out = ps._spmm_call_pregathered(
+            m, dst_g, dgi, *maps,
+            num_nodes=op._g_nblocks * ps.ROW_BLOCK, feat=f, mean=True,
+        )
+        return out.sum(dtype=jnp.float32)
 
-    r = jax.jit(reduces)
-    t_r = fetch_time(lambda: r(msgs, op._parts), args.iters)
-    nchunks = sum(p[2][0].shape[0] for p in op._parts)
-    log(f"reduce only:  {t_r * 1e3:8.1f} ms  -> {e / t_r / 1e6:6.1f} M edges/s"
+    r = jax.jit(reduce1)
+    t_r = fetch_time(lambda: r(msgs0, dst_g, dgi, maps), args.iters)
+    nchunks = maps[0].shape[0]
+    e1 = op._groups[0][3]
+    log(f"reduce only (group 0): {t_r * 1e3:8.1f} ms  -> "
+        f"{e1 / t_r / 1e6:6.1f} M edges/s"
         f"  ({t_r / nchunks * 1e6:.2f} us/chunk, {nchunks} chunks)")
-    log(f"gather+reduce serial sum: {(t_g + t_r) * 1e3:.1f} ms "
-        f"(whole-op overhead: {(t - t_g - t_r) * 1e3:+.1f} ms)")
+    t_r_all = t_r * len(op._parts)
+    log(f"gather+reduce serial sum (est): {(t_g + t_r_all) * 1e3:.1f} ms "
+        f"(whole-op overhead: {(t - t_g - t_r_all) * 1e3:+.1f} ms)")
 
 
 if __name__ == "__main__":

@@ -180,10 +180,14 @@ def main():
                 if pads[r]:
                     pieces.append(jnp.zeros((pads[r], f), xx.dtype))
             msgs = jnp.concatenate(pieces, axis=0)
-            out = _spmm_call_pregathered(
-                msgs, dst_g, *maps,
-                num_nodes=nb_max * ROW_BLOCK, feat=f, mean=True)
             b0, b1 = groups[gi]
+            dgf = 1.0 / np.maximum(np.diff(indptr).astype(np.float32), 1.0)
+            dg = np.ones(nb_max * ROW_BLOCK, np.float32)
+            take = dgf[b0 * ROW_BLOCK : (b0 + nb_max) * ROW_BLOCK]
+            dg[: take.shape[0]] = take
+            out = _spmm_call_pregathered(
+                msgs, dst_g, jnp.asarray(dg[:, None]), *maps,
+                num_nodes=nb_max * ROW_BLOCK, feat=f, mean=True)
             rows = min(b1 * ROW_BLOCK, n) - b0 * ROW_BLOCK
             outs.append(out[:rows])
         return jnp.concatenate(outs, axis=0)

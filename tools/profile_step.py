@@ -126,7 +126,7 @@ def main():
         return c
 
     # ---- stage: fixed-index gathers with the step's shapes
-    def gathers_only(idx_d1, idx_d2, idx_csr):
+    def gathers_only(data, idx_d1, idx_d2, idx_csr):
         def body(c, inp):
             i1, i2, ic = inp
             a = fast_take(data.x, i1)                # [d1, F]
@@ -138,7 +138,7 @@ def main():
         return c
 
     # ---- stage: sampling only
-    def sample_only(seeds, masks, key):
+    def sample_only(data, seeds, masks, key):
         def body(c, inp):
             b_seeds, b_mask, k = inp
             kb, _, _ = jax.random.split(k, 3)
@@ -149,7 +149,7 @@ def main():
         return c
 
     # ---- stage: sampling + feature/table gathers
-    def sample_gather(seeds, masks, key):
+    def sample_gather(data, seeds, masks, key):
         def body(c, inp):
             b_seeds, b_mask, k = inp
             kb, _, _ = jax.random.split(k, 3)
@@ -161,7 +161,7 @@ def main():
         return c
 
     # ---- stage: + one forward
-    def fwd1(seeds, masks, key):
+    def fwd1(data, seeds, masks, key):
         def body(c, inp):
             b_seeds, b_mask, k = inp
             kb, k1h, _ = jax.random.split(k, 3)
@@ -174,7 +174,7 @@ def main():
         return c
 
     # ---- stage: + both forwards + ct loss (no grad)
-    def fwd2_loss(seeds, masks, key):
+    def fwd2_loss(data, seeds, masks, key):
         def body(c, inp):
             b_seeds, b_mask, k = inp
             kb, k1h, k2h = jax.random.split(k, 3)
@@ -194,17 +194,17 @@ def main():
     # ---- stage: full step (epoch driver)
     epoch_fn = S.make_ct_epoch(spec, opt, fanouts, exact_leaf=True)
 
-    def full(seeds, masks, key):
+    def full(data, seeds, masks, key):
         _, _, m = epoch_fn(s1, s2, data, seeds, masks, key, fr)
         return m["loss_1"]
 
     timed("rng_only", rng_only, seeds, masks, jax.random.key(9))
-    timed("gathers_only(fixed idx)", gathers_only, idx_d1, idx_d2, idx_csr)
-    timed("sample_only", sample_only, seeds, masks, jax.random.key(9))
-    timed("sample+gather", sample_gather, seeds, masks, jax.random.key(9))
-    timed("+forward x1", fwd1, seeds, masks, jax.random.key(9))
-    timed("+forward x2 + ct_loss", fwd2_loss, seeds, masks, jax.random.key(9))
-    timed("full step (grad+update x2)", full, seeds, masks, jax.random.key(9))
+    timed("gathers_only(fixed idx)", gathers_only, data, idx_d1, idx_d2, idx_csr)
+    timed("sample_only", sample_only, data, seeds, masks, jax.random.key(9))
+    timed("sample+gather", sample_gather, data, seeds, masks, jax.random.key(9))
+    timed("+forward x1", fwd1, data, seeds, masks, jax.random.key(9))
+    timed("+forward x2 + ct_loss", fwd2_loss, data, seeds, masks, jax.random.key(9))
+    timed("full step (grad+update x2)", full, data, seeds, masks, jax.random.key(9))
 
 
 if __name__ == "__main__":
