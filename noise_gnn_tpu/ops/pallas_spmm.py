@@ -287,6 +287,37 @@ def _spmm_call_pregathered(
     return out
 
 
+def _make_groups(alloc: np.ndarray, bases: np.ndarray, budget: int):
+    """Split row blocks into super-groups of ~equal edge storage.
+
+    All groups are padded to the largest group's shape so one compiled
+    executable serves them — so the split places boundaries at even
+    cumulative quotas instead of filling ``budget`` greedily (which leaves
+    a near-empty final group padded up to ``budget``: 2x wasted gather
+    work when the graph's storage is just over the budget). Every group
+    lands within one block-alloc of ``total/ngroups``."""
+    nblocks = alloc.shape[0]
+    total = int(alloc.sum())
+    ngroups = max(1, -(-total // int(budget)))
+    cum = np.cumsum(alloc)
+    groups = []
+    b0 = 0
+    for i in range(ngroups):
+        if b0 >= nblocks:
+            break
+        quota = total * (i + 1) // ngroups
+        # advance to the first block whose cumulative storage meets the
+        # quota (last group always takes the rest)
+        b1 = nblocks if i == ngroups - 1 else int(
+            np.searchsorted(cum, quota, side="left") + 1
+        )
+        b1 = max(b1, b0 + 1)
+        edges = int(cum[b1 - 1]) - (int(cum[b0 - 1]) if b0 else 0)
+        groups.append((b0, b1, int(bases[b0]), edges))
+        b0 = b1
+    return groups
+
+
 def blocked_edges_from_csr(indptr: np.ndarray, indices: np.ndarray):
     """Re-pack dst-sorted CSR edges into block-aligned storage.
 
@@ -344,16 +375,8 @@ class PallasSpmm:
         nblocks = block_off.shape[0]
 
         alloc = -(-block_off[:, 1].astype(np.int64) // EDGE_CHUNK) * EDGE_CHUNK
-        self._groups = []
         self._budget = int(edge_budget)
-        b0 = 0
-        while b0 < nblocks:
-            b1, edges = b0, 0
-            while b1 < nblocks and (edges + alloc[b1] <= self._budget or b1 == b0):
-                edges += int(alloc[b1])
-                b1 += 1
-            self._groups.append((b0, b1, int(block_off[b0, 0]), int(edges)))
-            b0 = b1
+        self._groups = _make_groups(alloc, block_off[:, 0], self._budget)
         # pad all groups to the same (nblocks, edges) so one executable serves
         self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
         self._g_edges = max(e for _, _, _, e in self._groups)
@@ -506,15 +529,7 @@ class PallasSpmmDevice:
         )
         nblocks = bases.shape[0]
         alloc = -(-counts.astype(np.int64) // EDGE_CHUNK) * EDGE_CHUNK
-        self._groups = []
-        b0 = 0
-        while b0 < nblocks:
-            b1, edges = b0, 0
-            while b1 < nblocks and (edges + alloc[b1] <= edge_budget or b1 == b0):
-                edges += int(alloc[b1])
-                b1 += 1
-            self._groups.append((b0, b1, int(bases[b0]), int(edges)))
-            b0 = b1
+        self._groups = _make_groups(alloc, bases, int(edge_budget))
         self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
         self._g_edges = max(e for _, _, _, e in self._groups)
 

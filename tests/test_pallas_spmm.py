@@ -68,6 +68,31 @@ def test_multi_group_split():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_group_split_balanced():
+    # groups target ceil(total/ngroups), not greedy budget-filling: the
+    # padded shape (max group) must stay close to the mean group size
+    from noise_gnn_tpu.ops.pallas_spmm import _make_groups
+
+    rng = np.random.default_rng(11)
+    alloc = rng.integers(1, 5, 100).astype(np.int64) * EDGE_CHUNK
+    bases = np.zeros(100, np.int64)
+    np.cumsum(alloc[:-1], out=bases[1:])
+    total = int(alloc.sum())
+    for budget in (total - EDGE_CHUNK, total // 3 + 7, 9 * EDGE_CHUNK):
+        groups = _make_groups(alloc, bases, budget)
+        # coverage: contiguous, complete, edge counts match alloc
+        assert groups[0][0] == 0 and groups[-1][1] == 100
+        for (a0, a1, e0, e), (b0, _, _, _) in zip(groups, groups[1:]):
+            assert a1 == b0
+        assert sum(g[3] for g in groups) == total
+        biggest = max(g[3] for g in groups)
+        ngroups_ideal = max(1, -(-total // budget))
+        # exactly the ideal group count, every group within one block-alloc
+        # of the even split (no near-empty remainder group)
+        assert len(groups) == ngroups_ideal
+        assert biggest <= total // ngroups_ideal + int(alloc.max())
+
+
 def test_bf16_output_and_device_pack():
     # out_dtype=bfloat16 casts at the flush DMA (accumulation stays f32);
     # PallasSpmmDevice packs on device and must agree with the host pack

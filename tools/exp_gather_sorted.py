@@ -47,13 +47,15 @@ def main():
     log(f"device: {dev.device_kind}")
     x = jax.random.normal(jax.random.key(0), (n, f), jnp.bfloat16)
 
-    idx_rand = jax.random.randint(jax.random.key(1), (e + 512,), 0, n, jnp.int32)
+    idx_rand = jax.random.randint(jax.random.key(1), (e + 640,), 0, n, jnp.int32)
     idx_sorted = jnp.sort(idx_rand)
     # block-sorted: sort within each 8192-index span (one ROW_BLOCK's edges)
     span = 8192
     blocks = (e + 512) // span
     idx_blk = jnp.sort(idx_rand[: blocks * span].reshape(blocks, span), axis=1).reshape(-1)
-    jax.block_until_ready((idx_rand, idx_sorted, idx_blk))
+    # scalar fetches force completion (block_until_ready hangs via the tunnel)
+    for a in (idx_rand, idx_sorted, idx_blk):
+        float(a.sum())
 
     take = jax.jit(lambda t, i: jnp.take(t, i, axis=0).sum(dtype=jnp.float32))
     for name, idx in [("random", idx_rand), ("sorted", idx_sorted),
