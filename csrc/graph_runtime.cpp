@@ -64,53 +64,14 @@ void ngt_coo_to_csr(const int32_t* src, const int32_t* dst, int64_t e,
   for (int64_t i = 0; i < e; ++i) indices[cursor[dst[i]]++] = src[i];
 }
 
-// Size of the block-aligned edge buffer for (row_block, chunk).
-int64_t ngt_blocked_size(const int64_t* indptr, int32_t n, int32_t row_block,
-                         int32_t chunk) {
-  int64_t nblocks = (n + row_block - 1) / row_block;
-  if (nblocks == 0) return chunk;
-  int64_t total = 0;
-  for (int64_t b = 0; b < nblocks; ++b) {
-    int64_t lo = indptr[std::min<int64_t>(b * row_block, n)];
-    int64_t hi = indptr[std::min<int64_t>((b + 1) * row_block, n)];
-    int64_t cnt = hi - lo;
-    total += (cnt + chunk - 1) / chunk * chunk;
-  }
-  return std::max<int64_t>(total, chunk);
-}
-
-// Re-pack dst-major CSR into block-aligned storage for the Pallas SpMM
-// kernel (ops/pallas_spmm.py): each row_block's edges start at a
-// chunk-aligned offset; padding slots are src=0 / dst=-1.
-// src_blk/dst_blk: [ngt_blocked_size] out; bases/counts: [nblocks] int64 out.
-void ngt_pack_blocked(const int64_t* indptr, const int32_t* indices, int32_t n,
-                      int32_t row_block, int32_t chunk, int32_t* src_blk,
-                      int32_t* dst_blk, int64_t* bases, int64_t* counts) {
-  int64_t nblocks = (n + row_block - 1) / row_block;
-  int64_t total = ngt_blocked_size(indptr, n, row_block, chunk);
-  std::memset(src_blk, 0, total * sizeof(int32_t));
-  std::fill(dst_blk, dst_blk + total, -1);
-  int64_t base = 0;
-  for (int64_t b = 0; b < nblocks; ++b) {
-    int64_t row_lo = std::min<int64_t>(b * row_block, n);
-    int64_t row_hi = std::min<int64_t>((b + 1) * row_block, n);
-    int64_t lo = indptr[row_lo], hi = indptr[row_hi];
-    bases[b] = base;
-    counts[b] = hi - lo;
-    base += (counts[b] + chunk - 1) / chunk * chunk;
-  }
-  parallel_for(nblocks, [&](int64_t blo, int64_t bhi) {
-    for (int64_t b = blo; b < bhi; ++b) {
-      int64_t row_lo = std::min<int64_t>(b * row_block, n);
-      int64_t row_hi = std::min<int64_t>((b + 1) * row_block, n);
-      int64_t slot = bases[b];
-      for (int64_t r = row_lo; r < row_hi; ++r) {
-        for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k, ++slot) {
-          src_blk[slot] = indices[k];
-          dst_blk[slot] = static_cast<int32_t>(r);
-        }
-      }
-    }
+// Expand a dst-major CSR's indptr into the per-edge dst row array the
+// compact Pallas SpMM pack needs (ops/pallas_spmm.py): dst[k] = r for
+// indptr[r] <= k < indptr[r+1]. Parallel over rows.
+void ngt_expand_rows(const int64_t* indptr, int32_t n, int32_t* dst) {
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r)
+      for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k)
+        dst[k] = static_cast<int32_t>(r);
   });
 }
 

@@ -7,8 +7,7 @@ the framework works without a toolchain.
 API:
   available()                          -> bool
   coo_to_csr(src, dst, n)              -> (indptr int64 [n+1], indices int32 [e])
-  pack_blocked(indptr, indices, n, row_block, chunk)
-                                       -> (src_blk, dst_blk, bases, counts)
+  expand_rows(indptr, n)               -> dst int32 [e] (per-edge CSR row)
   sample_hop(indptr, indices, frontier, fanout, seed, frontier_mask=None)
                                        -> (children, mask) host fanout sample
   hash_i32(arr)                        -> FNV-1a checksum
@@ -52,12 +51,7 @@ def _load():
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.ngt_coo_to_csr.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32, i64p, i32p]
-    lib.ngt_blocked_size.argtypes = [i64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
-    lib.ngt_blocked_size.restype = ctypes.c_int64
-    lib.ngt_pack_blocked.argtypes = [
-        i64p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        i32p, i32p, i64p, i64p,
-    ]
+    lib.ngt_expand_rows.argtypes = [i64p, ctypes.c_int32, i32p]
     lib.ngt_sample_hop.argtypes = [
         i64p, i32p, i32p, u8p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_uint64, i32p, u8p,
@@ -96,26 +90,17 @@ def coo_to_csr(src: np.ndarray, dst: np.ndarray, n: int):
     return indptr, indices
 
 
-def pack_blocked(indptr: np.ndarray, indices: np.ndarray, n: int,
-                 row_block: int, chunk: int):
+def expand_rows(indptr: np.ndarray, n: int):
+    """Per-edge dst row of a dst-major CSR (the compact SpMM pack's only
+    materialized array). Returns None without the native lib — callers
+    fall back to np.repeat."""
     indptr = np.ascontiguousarray(indptr, np.int64)
-    indices = np.ascontiguousarray(indices, np.int32)
     lib = _load()
     if lib is None:
-        return None  # caller falls back to the numpy packer
-    nblocks = max(-(-n // row_block), 1)
-    total = lib.ngt_blocked_size(_p(indptr, ctypes.c_int64), n, row_block, chunk)
-    src_blk = np.zeros(total, np.int32)
-    dst_blk = np.zeros(total, np.int32)
-    bases = np.zeros(nblocks, np.int64)
-    counts = np.zeros(nblocks, np.int64)
-    lib.ngt_pack_blocked(
-        _p(indptr, ctypes.c_int64), _p(indices, ctypes.c_int32), n,
-        row_block, chunk,
-        _p(src_blk, ctypes.c_int32), _p(dst_blk, ctypes.c_int32),
-        _p(bases, ctypes.c_int64), _p(counts, ctypes.c_int64),
-    )
-    return src_blk, dst_blk, bases, counts
+        return None
+    dst = np.zeros(int(indptr[-1]), np.int32)
+    lib.ngt_expand_rows(_p(indptr, ctypes.c_int64), n, _p(dst, ctypes.c_int32))
+    return dst
 
 
 def sample_hop(indptr: np.ndarray, indices: np.ndarray, frontier: np.ndarray,

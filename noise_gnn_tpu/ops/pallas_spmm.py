@@ -9,9 +9,11 @@ Measured on v5e (see bench.py): XLA's scatter-add path runs a full SpMM at
 Pallas gather is scalar-core bound at <1 M edges/s. The winning split is
 hybrid:
 
-  * the GATHER stays on XLA (`jnp.take`), emitting messages directly in
-    *block-aligned dst order* (each output row-block's edges start at an
-    EDGE_CHUNK-aligned offset);
+  * the GATHER stays on XLA (`jnp.take`), emitting messages in COMPACT
+    dst-sorted CSR order (the gather is per-index bound, so block-alignment
+    padding — ~EDGE_CHUNK/2 slots per row block — was pure cost; chunks
+    that straddle a block boundary are visited by both blocks' schedule
+    entries and the one-hot masks the other block's edges);
   * the SEGMENT REDUCTION is a chunk-major Pallas kernel: the grid walks
     EDGE_CHUNK message slabs (auto-pipelined [G, F] DMAs), reduces each via
     a pre-transposed ``onehot @ slab`` matmul on the MXU, accumulates blocks
@@ -66,7 +68,7 @@ def _spmm_call(
     interpret: bool = False,
     out_dtype=jnp.float32,
 ):
-    # XLA gather into block-aligned dst order (padding src=0 rows are
+    # XLA gather in compact dst-sorted order (padding src=0 rows are
     # gathered but never matched by the -1 padding dst)
     msgs = jnp.take(x, src_blk, axis=0)
     return _spmm_call_pregathered(
@@ -77,31 +79,43 @@ def _spmm_call(
 
 
 def _chunk_maps(bases, counts, g_edges: int, g_nblocks: int):
-    """Chunk-major schedule for the grid-pipelined reduce kernel.
+    """Chunk-major schedule for the grid-pipelined reduce kernel, over
+    COMPACT (unaligned) edge storage.
 
-    One entry per EDGE_CHUNK of block-aligned edge storage, in block order:
-      blk[c]   output row-block of chunk c
-      ch[c]    chunk index into the edge arrays (offset // EDGE_CHUNK)
+    Edge storage is plain dst-sorted CSR order with no per-block alignment:
+    the gather is per-INDEX bound, so alignment padding (~EDGE_CHUNK/2 slots
+    per block) was pure cost. Block b's edges live at [bases[b],
+    bases[b]+counts[b]); the schedule visits every chunk that range touches.
+    A chunk straddling a block boundary appears in BOTH blocks' schedules —
+    consecutive grid steps, so the pipeline doesn't re-fetch the slab — and
+    the one-hot (which matches dst against the block's own rows) masks the
+    other block's edges. This also requires the mean divide to use the
+    pack-time degree rather than in-kernel one-hot counting.
+
+    One entry per (block, chunk) visit, in block order:
+      blk[c]   output row-block of schedule entry c
+      ch[c]    chunk index into the edge arrays
       first[c] 1 on a block's first chunk (kernel initializes the block)
       last[c]  1 on a block's last chunk (kernel applies the mean divide)
 
-    Empty blocks get one dummy chunk pointing at the next block's storage
-    (clamped into range): its dst values lie outside [blk*R, (blk+1)*R), so
-    the one-hot reduction contributes nothing and the block comes out zero.
+    Empty blocks get one dummy chunk (clamped into range): its dst values
+    lie outside the block's rows, so the block comes out zero.
     """
     bases = np.asarray(bases, np.int64)
     counts = np.asarray(counts, np.int64)
-    nchunks = np.maximum(-(-counts // EDGE_CHUNK), 1)
+    ends = bases + counts
+    cmax = max(g_edges // EDGE_CHUNK - 1, 0)
+    c0 = np.minimum(bases // EDGE_CHUNK, cmax)
+    c1 = np.minimum(np.maximum(-(-ends // EDGE_CHUNK) - 1, c0), cmax)
+    nchunks = c1 - c0 + 1
     blk = np.repeat(np.arange(g_nblocks, dtype=np.int64), nchunks)
-    ends = np.cumsum(nchunks)
-    within = np.arange(int(ends[-1]), dtype=np.int64) - (ends - nchunks)[blk]
-    off = np.minimum(bases[blk] + within * EDGE_CHUNK,
-                     max(g_edges - EDGE_CHUNK, 0))
+    cum = np.cumsum(nchunks)
+    within = np.arange(int(cum[-1]), dtype=np.int64) - (cum - nchunks)[blk]
     first = within == 0
     last = within == nchunks[blk] - 1
     return (
         blk.astype(np.int32),
-        (off // EDGE_CHUNK).astype(np.int32),
+        (c0[blk] + within).astype(np.int32),
         first.astype(np.int32),
         last.astype(np.int32),
         np.ones(blk.shape[0], np.int32),  # act: real schedule entry
@@ -318,36 +332,13 @@ def _make_groups(alloc: np.ndarray, bases: np.ndarray, budget: int):
     return groups
 
 
-def blocked_edges_from_csr(indptr: np.ndarray, indices: np.ndarray):
-    """Re-pack dst-sorted CSR edges into block-aligned storage.
-
-    Each ROW_BLOCK's edge range starts at an EDGE_CHUNK-aligned offset;
-    padding slots get src=0, dst=-1. Returns (src_blk, dst_blk,
-    block_off [nblocks, 2] = (aligned base, count)).
-    """
-    n = indptr.shape[0] - 1
+def block_edge_ranges(indptr: np.ndarray, num_nodes: int):
+    """Per-ROW_BLOCK edge ranges of a dst-sorted CSR: (starts, counts),
+    where block b's edges are CSR slots [starts[b], starts[b]+counts[b])."""
+    n = int(num_nodes)
     nblocks = max(-(-n // ROW_BLOCK), 1)
-    row_starts = indptr[np.minimum(np.arange(nblocks) * ROW_BLOCK, n)]
-    row_ends = indptr[np.minimum((np.arange(nblocks) + 1) * ROW_BLOCK, n)]
-    counts = (row_ends - row_starts).astype(np.int64)
-    alloc = -(-counts // EDGE_CHUNK) * EDGE_CHUNK
-    bases = np.zeros(nblocks, np.int64)
-    np.cumsum(alloc[:-1], out=bases[1:])
-    total = max(int(alloc.sum()), EDGE_CHUNK)
-    src_blk = np.zeros(total, np.int32)
-    dst_blk = np.full(total, -1, np.int32)
-    dst_global = np.repeat(
-        np.arange(n, dtype=np.int32), np.diff(indptr).astype(np.int64)
-    )
-    # vectorized re-pack: destination slot of edge k (in block b) is
-    # bases[b] + (k - row_starts[b])
-    edge_block = np.repeat(np.arange(nblocks), counts)
-    k = np.arange(int(indptr[-1]), dtype=np.int64)
-    slots = bases[edge_block] + (k - row_starts[edge_block])
-    src_blk[slots] = indices
-    dst_blk[slots] = dst_global
-    block_off = np.stack([bases, counts], axis=1).astype(np.int32)
-    return src_blk, dst_blk, block_off
+    bounds = indptr[np.minimum(np.arange(nblocks + 1) * ROW_BLOCK, n)]
+    return bounds[:-1].astype(np.int64), np.diff(bounds).astype(np.int64)
 
 
 class PallasSpmm:
@@ -365,38 +356,40 @@ class PallasSpmm:
         indptr = np.asarray(indptr, np.int64)
         indices = np.asarray(indices, np.int32)
         self.num_nodes = int(num_nodes)
-        packed = native.pack_blocked(indptr, indices, self.num_nodes,
-                                     ROW_BLOCK, EDGE_CHUNK)
-        if packed is not None:
-            src_blk, dst_blk, p_bases, p_counts = packed
-            block_off = np.stack([p_bases, p_counts], axis=1).astype(np.int64)
-        else:
-            src_blk, dst_blk, block_off = blocked_edges_from_csr(indptr, indices)
-        nblocks = block_off.shape[0]
+        blk_start, blk_count = block_edge_ranges(indptr, self.num_nodes)
 
-        alloc = -(-block_off[:, 1].astype(np.int64) // EDGE_CHUNK) * EDGE_CHUNK
         self._budget = int(edge_budget)
-        self._groups = _make_groups(alloc, block_off[:, 0], self._budget)
+        self._groups = _make_groups(blk_count, blk_start, self._budget)
         # pad all groups to the same (nblocks, edges) so one executable serves
         self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
-        self._g_edges = max(e for _, _, _, e in self._groups)
+        self._g_edges = max(
+            -(-max(e for _, _, _, e in self._groups) // EDGE_CHUNK), 1
+        ) * EDGE_CHUNK
 
-        # pack-time inverse in-degree: the mean divide needs no per-chunk
-        # count reduction in the kernel (every row's edges live in one block)
+        # compact storage is plain CSR order; only dst (row per edge) is
+        # materialized — in C++ when available (products: 123 M edges)
+        dst_global = native.expand_rows(indptr, self.num_nodes)
+        if dst_global is None:
+            dst_global = np.repeat(
+                np.arange(self.num_nodes, dtype=np.int32),
+                np.diff(indptr).astype(np.int64),
+            )
+        # pack-time inverse in-degree: the mean divide must not count
+        # one-hot matches in-kernel (boundary chunks see a block's edges
+        # split across two schedule entries)
         deginv = 1.0 / np.maximum(
             np.diff(indptr).astype(np.float32), 1.0
         )
         raw = []
         for b0, b1, e0, e_len in self._groups:
             nb = b1 - b0
-            bases = np.pad(block_off[b0:b1, 0].astype(np.int64) - e0,
-                           (0, self._g_nblocks - nb))
-            counts = np.pad(block_off[b0:b1, 1].astype(np.int64),
-                            (0, self._g_nblocks - nb))
+            bases = np.pad(blk_start[b0:b1] - e0,
+                           (0, self._g_nblocks - nb), constant_values=e_len)
+            counts = np.pad(blk_count[b0:b1], (0, self._g_nblocks - nb))
             src_g = np.zeros(self._g_edges + GATHER_PAD, np.int32)
             dst_g = np.full(self._g_edges, -1, np.int32)
-            src_g[:e_len] = src_blk[e0 : e0 + e_len]
-            dst_g[:e_len] = dst_blk[e0 : e0 + e_len] - b0 * ROW_BLOCK
+            src_g[:e_len] = indices[e0 : e0 + e_len]
+            dst_g[:e_len] = dst_global[e0 : e0 + e_len] - b0 * ROW_BLOCK
             dg = np.ones(self._g_nblocks * ROW_BLOCK, np.float32)
             take = deginv[b0 * ROW_BLOCK : (b0 + self._g_nblocks) * ROW_BLOCK]
             dg[: take.shape[0]] = take
@@ -473,49 +466,13 @@ class PallasSpmm:
         return self._jfn(x, self._parts)
 
 
-def pack_blocked_device(
-    indptr_np: np.ndarray, indices_dev: Array, num_nodes: int
-):
-    """Build the block-aligned edge layout ON DEVICE from an
-    already-resident CSR (avoids re-uploading hundreds of MB through slow
-    host->device links; only the [nblocks] bases/counts go up).
-
-    Returns (src_blk, dst_blk, bases i32, counts i32, deg [n_pad,1] f32) —
-    the same arrays ``blocked_edges_from_csr`` would produce.
-    """
-    n = int(num_nodes)
-    e = int(indptr_np[-1])
-    nblocks = max(-(-n // ROW_BLOCK), 1)
-    row_starts = indptr_np[np.minimum(np.arange(nblocks) * ROW_BLOCK, n)]
-    row_ends = indptr_np[np.minimum((np.arange(nblocks) + 1) * ROW_BLOCK, n)]
-    counts = (row_ends - row_starts).astype(np.int64)
-    alloc = -(-counts // EDGE_CHUNK) * EDGE_CHUNK
-    bases = np.zeros(nblocks, np.int64)
-    np.cumsum(alloc[:-1], out=bases[1:])
-    total = max(int(alloc.sum()), EDGE_CHUNK)
-
-    # int32 everywhere: edge counts stay under 2^31 (products: 1.2e8)
+def expand_rows_device(indptr_np: np.ndarray, num_edges: int) -> Array:
+    """Per-edge dst row of a CSR, computed ON DEVICE (avoids shipping an
+    [e] array through slow host->device links; only indptr goes up):
+    dst[k] = row r with indptr[r] <= k < indptr[r+1]."""
     indptr_dev = jnp.asarray(indptr_np.astype(np.int32))
-    bases_dev = jnp.asarray(bases.astype(np.int32))
-    starts_dev = jnp.asarray(row_starts.astype(np.int32))
-
-    # per-edge dst from CSR: dst[k] = row r with indptr[r] <= k < indptr[r+1]
-    k = jnp.arange(e, dtype=jnp.int32)
-    dst = (jnp.searchsorted(indptr_dev, k, side="right") - 1).astype(jnp.int32)
-    blk = dst // ROW_BLOCK
-    slots = jnp.take(bases_dev, blk) + (k - jnp.take(starts_dev, blk))
-    src_blk = jnp.zeros(total, jnp.int32).at[slots].set(indices_dev.astype(jnp.int32))
-    dst_blk = jnp.full(total, -1, jnp.int32).at[slots].set(dst)
-
-    deg = (indptr_np[1:] - indptr_np[:-1]).astype(np.float32)
-    deg = np.pad(deg, (0, nblocks * ROW_BLOCK - n))[:, None]
-    return (
-        src_blk,
-        dst_blk,
-        bases.astype(np.int32),
-        counts.astype(np.int32),
-        deg,
-    )
+    k = jnp.arange(int(num_edges), dtype=jnp.int32)
+    return (jnp.searchsorted(indptr_dev, k, side="right") - 1).astype(jnp.int32)
 
 
 class PallasSpmmDevice:
@@ -524,35 +481,39 @@ class PallasSpmmDevice:
     def __init__(self, indptr_np: np.ndarray, indices_dev: Array,
                  num_nodes: int, edge_budget: int = 4 << 20):
         self.num_nodes = int(num_nodes)
-        src_blk, dst_blk, bases, counts, deg = pack_blocked_device(
-            np.asarray(indptr_np, np.int64), indices_dev, num_nodes
-        )
-        nblocks = bases.shape[0]
-        alloc = -(-counts.astype(np.int64) // EDGE_CHUNK) * EDGE_CHUNK
-        self._groups = _make_groups(alloc, bases, int(edge_budget))
-        self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
-        self._g_edges = max(e for _, _, _, e in self._groups)
+        indptr_np = np.asarray(indptr_np, np.int64)
+        num_edges = int(indptr_np[-1])
+        blk_start, blk_count = block_edge_ranges(indptr_np, self.num_nodes)
+        dst_all = expand_rows_device(indptr_np, num_edges)
+        src_all = indices_dev.astype(jnp.int32)
 
-        deginv = (1.0 / np.maximum(deg[:, 0], 1.0)).astype(np.float32)
+        self._groups = _make_groups(blk_count, blk_start, int(edge_budget))
+        self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
+        self._g_edges = max(
+            -(-max(e for _, _, _, e in self._groups) // EDGE_CHUNK), 1
+        ) * EDGE_CHUNK
+
+        deginv = 1.0 / np.maximum(
+            np.diff(indptr_np).astype(np.float32), 1.0
+        )
         raw = []
         for b0, b1, e0, e_len in self._groups:
             nb = b1 - b0
-            g_bases = np.pad(bases[b0:b1].astype(np.int64) - e0,
-                             (0, self._g_nblocks - nb))
-            g_counts = np.pad(counts[b0:b1].astype(np.int64),
-                              (0, self._g_nblocks - nb))
+            g_bases = np.pad(blk_start[b0:b1] - e0,
+                             (0, self._g_nblocks - nb), constant_values=e_len)
+            g_counts = np.pad(blk_count[b0:b1], (0, self._g_nblocks - nb))
             dg = np.ones(self._g_nblocks * ROW_BLOCK, np.float32)
             take = deginv[b0 * ROW_BLOCK : (b0 + self._g_nblocks) * ROW_BLOCK]
             dg[: take.shape[0]] = take
             # device-side slice + pad (no host round-trip of edge data)
             src_g = jnp.pad(
                 jax.lax.dynamic_slice_in_dim(
-                    jnp.pad(src_blk, (0, self._g_edges)), e0, self._g_edges
+                    jnp.pad(src_all, (0, self._g_edges)), e0, self._g_edges
                 ),
                 (0, GATHER_PAD),
             )
             dst_g = jax.lax.dynamic_slice_in_dim(
-                jnp.pad(dst_blk, (0, self._g_edges), constant_values=-1),
+                jnp.pad(dst_all, (0, self._g_edges), constant_values=-1),
                 e0, self._g_edges,
             )
             # mask out edges beyond this group's real extent

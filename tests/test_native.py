@@ -4,11 +4,6 @@ import numpy as np
 import pytest
 
 from noise_gnn_tpu import native
-from noise_gnn_tpu.ops.pallas_spmm import (
-    EDGE_CHUNK,
-    ROW_BLOCK,
-    blocked_edges_from_csr,
-)
 
 
 def numpy_csr(src, dst, n):
@@ -33,20 +28,16 @@ def test_coo_to_csr_matches_numpy():
     np.testing.assert_array_equal(ix, ix2)  # stable within-row order
 
 
-def test_pack_blocked_matches_numpy():
+def test_expand_rows_matches_numpy():
     rng = np.random.default_rng(1)
     n, e = 700, 9000
     src = rng.integers(0, n, e).astype(np.int32)
     dst = rng.integers(0, n, e).astype(np.int32)
     ip, ix = native.coo_to_csr(src, dst, n)
-    packed = native.pack_blocked(ip, ix, n, ROW_BLOCK, EDGE_CHUNK)
-    assert packed is not None
-    src_blk, dst_blk, bases, counts = packed
-    src_np, dst_np, off_np = blocked_edges_from_csr(ip, ix)
-    np.testing.assert_array_equal(bases, off_np[:, 0])
-    np.testing.assert_array_equal(counts, off_np[:, 1])
-    np.testing.assert_array_equal(src_blk, src_np)
-    np.testing.assert_array_equal(dst_blk, dst_np)
+    out = native.expand_rows(ip, n)
+    assert out is not None
+    want = np.repeat(np.arange(n, dtype=np.int32), np.diff(ip))
+    np.testing.assert_array_equal(out, want)
 
 
 def test_sample_hop_semantics():

@@ -10,7 +10,8 @@ from noise_gnn_tpu.ops.pallas_spmm import (
     EDGE_CHUNK,
     ROW_BLOCK,
     PallasSpmm,
-    blocked_edges_from_csr,
+    _chunk_maps,
+    block_edge_ranges,
     csr_spmm,
 )
 from noise_gnn_tpu.ops.scatter import gather_scatter_mean, gather_scatter_sum
@@ -22,23 +23,33 @@ def make_graph(n, e, seed=0):
     return ei, CSRGraph.from_coo(ei, n)
 
 
-def test_blocked_edges_layout():
+def test_compact_chunk_schedule():
+    # compact storage: block b's edges at CSR offsets [start, start+count);
+    # the schedule must visit exactly the chunks each block's range touches,
+    # in ascending block order, with correct first/last flags
     ei, csr = make_graph(600, 5000)
     indptr = np.asarray(csr.indptr, np.int64)
-    src_blk, dst_blk, block_off = blocked_edges_from_csr(indptr, np.asarray(csr.indices))
-    # bases aligned, counts correct, real slots hold real edges
-    assert (block_off[:, 0] % EDGE_CHUNK == 0).all()
-    assert block_off[:, 1].sum() == 5000
-    for b in range(block_off.shape[0]):
-        base, cnt = block_off[b]
-        assert (dst_blk[base : base + cnt] >= b * ROW_BLOCK).all()
-        assert (dst_blk[base : base + cnt] < (b + 1) * ROW_BLOCK).all()
-    # padding slots masked
-    pad_mask = np.ones(len(dst_blk), bool)
-    for b in range(block_off.shape[0]):
-        base, cnt = block_off[b]
-        pad_mask[base : base + cnt] = False
-    assert (dst_blk[pad_mask] == -1).all()
+    starts, counts = block_edge_ranges(indptr, 600)
+    assert counts.sum() == 5000
+    nb = starts.shape[0]
+    g_edges = -(-5000 // EDGE_CHUNK) * EDGE_CHUNK
+    blk, ch, first, last, act = _chunk_maps(starts, counts, g_edges, nb)
+    assert (act == 1).all()
+    assert (np.diff(blk) >= 0).all()  # ascending blocks
+    for b in range(nb):
+        sel = blk == b
+        cs = ch[sel]
+        s, e = int(starts[b]), int(starts[b] + counts[b])
+        if counts[b] == 0:
+            assert sel.sum() == 1  # one dummy chunk flushes the zero block
+        else:
+            want = np.arange(s // EDGE_CHUNK, -(-e // EDGE_CHUNK))
+            np.testing.assert_array_equal(cs, want)
+        # exactly one first and one last per block, at the span's ends
+        assert first[sel][0] == 1 and first[sel][1:].sum() == 0
+        assert last[sel][-1] == 1 and last[sel][:-1].sum() == 0
+    # chunk indices stay inside storage
+    assert ch.max() < g_edges // EDGE_CHUNK
 
 
 @pytest.mark.parametrize("mean", [True, False])
