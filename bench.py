@@ -4,16 +4,21 @@ Prints ONE JSON line:
   {"metric": "spmm_edges_per_s_per_chip", "value": N, "unit": "edges/s",
    "vs_baseline": R}
 
-``vs_baseline`` is the fraction of HBM-bandwidth speed-of-light for the op
-(the reference publishes no numbers — BASELINE.md — so speed-of-light is the
-honest anchor): mean aggregation must read one feature row per edge, so
-SOL = HBM_BW / (F * bytes_per_elem).
+``vs_baseline`` is the speedup over the BASELINE MECHANISM on the same
+chip: the reference aggregates via torch-scatter scatter-mean (reference
+src/models/layers/sage.py:16-19) and publishes no numbers (BASELINE.md),
+so the honest anchor is XLA's gather + segment-sum scatter path — the
+straight port of the reference's mechanism — measured in the same run.
+If that measurement is skipped (--no-xla) the fraction of HBM-bandwidth
+speed-of-light is reported instead (mean aggregation must read one
+feature row per edge, so SOL = HBM_BW / (F * bytes)); both numbers
+always go to stderr.
 
 Measures the hybrid Pallas kernel (ops/pallas_spmm.py: XLA gather +
-MXU one-hot segment reduction) and the pure-XLA path, reporting the faster.
-Data is generated on device (host->device over the dev tunnel is slow).
-Timing forces a scalar fetch per iteration — plain block_until_ready is
-unreliable through the tunnel. Secondary diagnostics go to stderr.
+MXU one-hot segment reduction). Data is generated on device (host->device
+over the dev tunnel is slow). Timing forces a scalar fetch per iteration —
+plain block_until_ready is unreliable through the tunnel. Secondary
+diagnostics go to stderr.
 """
 
 from __future__ import annotations
@@ -48,8 +53,8 @@ def main():
     ap.add_argument("--feat", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--with-xla", action="store_true",
-                    help="also time the pure-XLA path (slow compile)")
+    ap.add_argument("--no-xla", action="store_true",
+                    help="skip the baseline-mechanism (XLA scatter) timing")
     args = ap.parse_args()
 
     import jax
@@ -96,28 +101,39 @@ def main():
     rate_pallas = max(rate_pallas, rate_fused)
 
     rate_xla = 0.0
-    if args.with_xla:
-        dst_sorted = jnp.asarray(
-            np.repeat(np.arange(n, dtype=np.int32), dst_counts)
-        )
-        src_dev = jnp.asarray(src)
-        ei = jnp.stack([src_dev, dst_sorted])
-        xla_fn = jax.jit(lambda: gather_scatter_mean(x, ei, n).sum())
-        t_xla = fetch_time(xla_fn, max(args.iters // 2, 2))
-        rate_xla = e / t_xla
-        log(f"xla path: {t_xla * 1e3:.1f} ms -> {rate_xla / 1e6:.1f} M edges/s")
+    if not args.no_xla:
+        try:
+            dst_sorted = jnp.asarray(
+                np.repeat(np.arange(n, dtype=np.int32), dst_counts)
+            )
+            src_dev = jnp.asarray(src)
+            ei = jnp.stack([src_dev, dst_sorted])
+            # arrays travel as ARGUMENTS (closures over device arrays
+            # serialize into the remote-compile payload -> HTTP 413)
+            xla_fn = jax.jit(
+                lambda xx, eei: gather_scatter_mean(xx, eei, n).sum()
+            )
+            t_xla = fetch_time(lambda: xla_fn(x, ei), max(args.iters // 2, 2))
+            rate_xla = e / t_xla
+            log(f"xla scatter path (baseline mechanism): {t_xla * 1e3:.1f} ms "
+                f"-> {rate_xla / 1e6:.1f} M edges/s")
+        except Exception as ex:  # never lose the headline to the baseline leg
+            log(f"xla scatter path failed ({type(ex).__name__}: {ex}); "
+                "falling back to speed-of-light ratio")
 
     best = max(rate_pallas, rate_xla)
     hbm_bw = {"tpu": 819e9, "axon": 819e9}.get(dev.platform, 50e9)  # v5e
     sol = hbm_bw / (f * dtype.itemsize)
     log(f"speed-of-light at {hbm_bw / 1e9:.0f} GB/s: {sol / 1e6:.0f} M edges/s; "
         f"achieved {100 * best / sol:.1f}%")
+    if rate_xla > 0:
+        log(f"vs baseline mechanism: {best / rate_xla:.2f}x")
 
     print(json.dumps({
         "metric": "spmm_edges_per_s_per_chip",
         "value": best,
         "unit": "edges/s",
-        "vs_baseline": best / sol,
+        "vs_baseline": best / rate_xla if rate_xla > 0 else best / sol,
     }))
 
 

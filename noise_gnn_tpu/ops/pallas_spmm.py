@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 ROW_BLOCK = 256  # output rows per grid step
-EDGE_CHUNK = 2048  # edges per grid step (measured best on v5e: 120 M edges/s reduce)
+EDGE_CHUNK = 2048  # edges per grid step (measured best on v5e)
 LANES = 128
 # XLA's TPU gather emits a ~2x slower loop when the index count is divisible
 # by 1024 (measured on v5e: 79 vs 147 M idx/s). Group storage is a multiple
