@@ -20,10 +20,21 @@ def _flatten(tree):
     return leaves, str(treedef)
 
 
+def _is_key(x) -> bool:
+    return hasattr(x, "dtype") and jax.dtypes.issubdtype(
+        x.dtype, jax.dtypes.prng_key
+    )
+
+
 def save_checkpoint(path: str, tree, meta: dict | None = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     leaves, treedef_str = _flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    # typed PRNG keys can't round-trip through numpy; store their raw
+    # counter data (rewrapped on load from the template's key impl)
+    arrays = {
+        f"leaf_{i}": np.asarray(jax.random.key_data(x) if _is_key(x) else x)
+        for i, x in enumerate(leaves)
+    }
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
     side = {"treedef": treedef_str, "num_leaves": len(leaves), "meta": meta or {}}
     with open(_sidecar(path), "w") as f:
@@ -35,11 +46,16 @@ def load_checkpoint(path: str, like):
     npz_path = path if path.endswith(".npz") else path + ".npz"
     with np.load(npz_path) as z:
         leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
-    _, treedef = jax.tree_util.tree_flatten(like)
+    tmpl_leaves, treedef = jax.tree_util.tree_flatten(like)
     if treedef.num_leaves != len(leaves):
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, template expects {treedef.num_leaves}"
         )
+    leaves = [
+        jax.random.wrap_key_data(x, impl=jax.random.key_impl(t))
+        if _is_key(t) else x
+        for x, t in zip(leaves, tmpl_leaves)
+    ]
     with open(_sidecar(path)) as f:
         meta = json.load(f).get("meta", {})
     return jax.tree_util.tree_unflatten(treedef, leaves), meta

@@ -1,0 +1,110 @@
+"""Checkpoint/resume + config validation (SURVEY §5 aux subsystems).
+
+The reference only torch.saves bare state_dicts under hard-coded names
+(reference src/pipeline_contrast.py:308-320); here the bundle is params +
+optimizer state + PRNG key + run/epoch position with config-derived paths.
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from noise_gnn_tpu.models import nets
+from noise_gnn_tpu.train import steps as S
+from noise_gnn_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from noise_gnn_tpu.utils.config import DEFAULTS, run_name, validate_config
+
+
+def _spec():
+    return nets.NetSpec(module="sage", in_size=8, hidden_size=16, out_size=3,
+                        num_layers=2, dropout=0.5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    opt = optax.adam(1e-3)
+    s1 = S.init_state(jax.random.key(1), _spec(), opt)
+    s2 = S.init_state(jax.random.key(2), _spec(), opt)
+    key = jax.random.key(7)
+    path = str(tmp_path / "ck" / "bundle")
+    save_checkpoint(path, (s1, s2, key), {"run": 2, "epoch": 13})
+
+    tmpl = (S.init_state(jax.random.key(0), _spec(), opt),
+            S.init_state(jax.random.key(0), _spec(), opt), jax.random.key(0))
+    (r1, r2, rkey), meta = load_checkpoint(path, tmpl)
+    assert meta == {"run": 2, "epoch": 13}
+    def raw(x):
+        if jax.dtypes.issubdtype(getattr(x, "dtype", np.float32),
+                                 jax.dtypes.prng_key):
+            x = jax.random.key_data(x)
+        return np.asarray(x)
+
+    for want, got in zip(jax.tree_util.tree_leaves((s1, s2, key)),
+                         jax.tree_util.tree_leaves((r1, r2, rkey))):
+        np.testing.assert_array_equal(raw(want), raw(got))
+    # restored PRNG key streams identically
+    assert jnp.array_equal(jax.random.uniform(key, (4,)),
+                           jax.random.uniform(rkey, (4,)))
+
+
+def test_checkpoint_leaf_mismatch_raises(tmp_path):
+    path = str(tmp_path / "bundle")
+    save_checkpoint(path, {"a": jnp.ones(3)}, {})
+    with pytest.raises(ValueError, match="leaves"):
+        load_checkpoint(path, {"a": jnp.ones(3), "b": jnp.ones(2)})
+
+
+def test_pipeline_resume(tmp_path):
+    """Interrupt a run after its checkpoint epoch; resuming continues from
+    the saved (run, epoch) with the saved params/opt/PRNG bundle."""
+    from noise_gnn_tpu.train.pipelines import PipelineS
+
+    cfg = dict(
+        DEFAULTS, dataset_name="cora", synthetic_scale=1, num_runs=1,
+        max_epochs=2, batch_size=64, hidden_size=16, num_layers=2,
+        nbr_neighbors=[3, 2], train_type="nalgo", algo_type="coteaching",
+        out_dir=str(tmp_path), ckpt_every=1, seed=5, epoch_logger=False,
+    )
+    p1 = PipelineS(copy.deepcopy(cfg))
+    p1.loop()
+    import glob
+    cks = glob.glob(str(tmp_path / "models" / "*_ct_ckpt.npz"))
+    assert cks, "ckpt_every must have written a checkpoint"
+
+    cfg2 = dict(copy.deepcopy(cfg), resume=True, max_epochs=4)
+    p2 = PipelineS(cfg2)
+    # same output_name so the resume path matches the saved checkpoint
+    p2.output_name = p1.output_name
+    p2.loop()
+    log = (tmp_path / "logs").glob("**/*.log")
+    text = "".join(f.read_text() for f in log)
+    assert "Resumed from" in text
+    assert "epoch 2" in text  # max_epochs=2 ran epochs 0..1, resume at 2
+
+
+def test_config_validation_errors():
+    cfg = dict(DEFAULTS)
+    for key, bad in [("algo_type", "nope"), ("noise_type", "gauss"),
+                     ("train_type", "x"), ("noise_rate", 1.5),
+                     ("num_layers", 0), ("nbr_neighbors", [0, 5])]:
+        c = dict(cfg)
+        c[key] = bad
+        with pytest.raises(ValueError):
+            validate_config(c)
+
+
+def test_reference_configs_load():
+    """Every shipped config passes validation with the reference key
+    surface (reference main.py:54-57 loads raw YAML unvalidated)."""
+    import glob
+
+    from noise_gnn_tpu.utils.config import load_config
+
+    paths = glob.glob("configs/*.yml")
+    assert len(paths) >= 10
+    for p in paths:
+        cfg = load_config(p)
+        assert run_name(cfg)  # name derivation works for every config
