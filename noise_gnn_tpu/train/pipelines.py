@@ -385,7 +385,7 @@ class PipelineCO(BasePipeline):
         reference's hard-coded filenames)."""
         c = self.config
         spec = self.spec_for()
-        path = c.get("load_model_path") or (
+        path = c.get("load_model_path") or c.get("ckpt_path") or (
             f"{c['out_dir']}/models/{self.output_name}_ct_ckpt"
         )
         tmpl_s = S.init_state(jax.random.key(0), spec, self.optimizer)
@@ -411,7 +411,11 @@ class PipelineCO(BasePipeline):
         bs = int(c["batch_size"])
         edges_per_batch = tree_edges_per_batch(bs, self.fanouts)
         ckpt_every = int(c.get("ckpt_every", 0))
-        ckpt_path = f"{c['out_dir']}/models/{self.output_name}_ct_ckpt"
+        # ckpt_path override: the derived name embeds the date (reference
+        # run-name parity), so cross-day resume needs a stable user path
+        ckpt_path = c.get("ckpt_path") or (
+            f"{c['out_dir']}/models/{self.output_name}_ct_ckpt"
+        )
         best_accs = []
         start_run, start_epoch = 0, 0
         s1 = s2 = None

@@ -67,17 +67,15 @@ def test_pipeline_resume(tmp_path):
         max_epochs=2, batch_size=64, hidden_size=16, num_layers=2,
         nbr_neighbors=[3, 2], train_type="nalgo", algo_type="coteaching",
         out_dir=str(tmp_path), ckpt_every=1, seed=5, epoch_logger=False,
+        ckpt_path=str(tmp_path / "models" / "stable_ckpt"),
     )
     p1 = PipelineS(copy.deepcopy(cfg))
     p1.loop()
-    import glob
-    cks = glob.glob(str(tmp_path / "models" / "*_ct_ckpt.npz"))
-    assert cks, "ckpt_every must have written a checkpoint"
+    assert (tmp_path / "models" / "stable_ckpt.npz").exists(), \
+        "ckpt_every must have written a checkpoint at the stable path"
 
     cfg2 = dict(copy.deepcopy(cfg), resume=True, max_epochs=4)
     p2 = PipelineS(cfg2)
-    # same output_name so the resume path matches the saved checkpoint
-    p2.output_name = p1.output_name
     p2.loop()
     log = (tmp_path / "logs").glob("**/*.log")
     text = "".join(f.read_text() for f in log)
