@@ -160,6 +160,10 @@ def gcn_conv_pre(params: dict, x_self: Array, agg: Array) -> Array:
 
 
 def dropout(key: Array, x: Array, rate: float, train: bool) -> Array:
+    # dropout costs 0.5 ms/step per net on v5e (tools/profile_step.py) —
+    # measured to be mask-materialization BANDWIDTH, not threefry: a uint8
+    # random-bits variant (4 draws per 32-bit block) timed identical, so
+    # the straightforward bernoulli form stays.
     if not train or rate <= 0.0:
         return x
     keep = 1.0 - rate

@@ -69,7 +69,9 @@ def main():
     indices = jax.random.randint(jax.random.key(1), (e,), 0, n, jnp.int32)
     t0 = time.perf_counter()
     op = ps.PallasSpmmDevice(indptr_np, indices, n)
-    jax.block_until_ready(op._parts[0][0])
+    # scalar fetch forces the device pack (block_until_ready is unreliable
+    # through the dev tunnel and inflates this timing)
+    float(op._parts[0][0].sum())
     log(f"pack: {time.perf_counter() - t0:.1f}s, groups={len(op._groups)}, "
         f"g_edges={op._g_edges}, g_nblocks={op._g_nblocks}")
 
@@ -93,7 +95,7 @@ def main():
     # groups x g_edges x F bytes — past HBM at products scale)
     src_g, dst_g, dgi, maps = op._parts[0]
     msgs0 = jnp.take(x, src_g, axis=0)
-    jax.block_until_ready(msgs0)
+    float(msgs0.sum())  # force (tunnel-safe)
 
     def reduce1(m, dst_g, dgi, maps):
         out = ps._spmm_call_pregathered(

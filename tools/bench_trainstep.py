@@ -68,7 +68,7 @@ def main():
     x = jax.random.normal(k2, (n, args.feat), jnp.dtype(args.dtype))
     y = jax.random.randint(k3, (n,), 0, args.classes, jnp.int32)
     data = S.GraphData(x=x, y=y, yhn=y, clean=jnp.ones((n,), bool), csr=csr)
-    jax.block_until_ready(data.x)
+    float(data.x.sum())  # force (tunnel-safe)
 
     spec = nets.NetSpec(
         module="sage", in_size=args.feat, hidden_size=args.hidden,
@@ -87,7 +87,7 @@ def main():
             t0 = time.perf_counter()
             indptr_np = np.arange(n + 1, dtype=np.int64) * deg
             table = fused_leaf_table(x, csr, indptr_np=indptr_np, aggr="mean")
-            table = jax.block_until_ready(table)
+            float(table.sum())  # force (tunnel-safe)
             log(f"[{mode}] leaf-agg precompute ({e / 1e6:.0f} M edges): "
                 f"{time.perf_counter() - t0:.2f}s")
             d = data._replace(leaf_agg=table)

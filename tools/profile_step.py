@@ -75,7 +75,7 @@ def main():
     table = fused_leaf_table(x, csr, indptr_np=indptr_np, aggr="mean")
     data = S.GraphData(x=x, y=y, yhn=y, clean=jnp.ones((n,), bool), csr=csr,
                        leaf_agg=table)
-    jax.block_until_ready(data.leaf_agg)
+    float(data.leaf_agg.sum())  # force (tunnel-safe)
 
     spec = nets.NetSpec(
         module="sage", in_size=args.feat, hidden_size=args.hidden,
@@ -173,6 +173,19 @@ def main():
         c, _ = jax.lax.scan(body, jnp.float32(0), (seeds, masks, keys))
         return c
 
+    # ---- stage: + one forward WITHOUT dropout (isolates threefry+mask cost)
+    def fwd1_nodrop(data, seeds, masks, key):
+        def body(c, inp):
+            b_seeds, b_mask, k = inp
+            kb, k1h, _ = jax.random.split(k, 3)
+            tb, xs, la = S._sample_tree(kb, data, b_seeds, b_mask, fanouts, True)
+            o1 = nets.apply_tree(spec, s1.params, xs, list(tb.masks), tb.fanouts,
+                                 train=False, leaf_agg=la)["logits"]
+            return c + o1.sum(dtype=jnp.float32), None
+        keys = jax.random.split(key, args.steps)
+        c, _ = jax.lax.scan(body, jnp.float32(0), (seeds, masks, keys))
+        return c
+
     # ---- stage: + both forwards + ct loss (no grad)
     def fwd2_loss(data, seeds, masks, key):
         def body(c, inp):
@@ -202,6 +215,8 @@ def main():
     timed("gathers_only(fixed idx)", gathers_only, data, idx_d1, idx_d2, idx_csr)
     timed("sample_only", sample_only, data, seeds, masks, jax.random.key(9))
     timed("sample+gather", sample_gather, data, seeds, masks, jax.random.key(9))
+    timed("+forward x1 (no dropout)", fwd1_nodrop, data, seeds, masks,
+          jax.random.key(9))
     timed("+forward x1", fwd1, data, seeds, masks, jax.random.key(9))
     timed("+forward x2 + ct_loss", fwd2_loss, data, seeds, masks, jax.random.key(9))
     timed("full step (grad+update x2)", full, data, seeds, masks, jax.random.key(9))
