@@ -204,6 +204,28 @@ def main():
         c, _ = jax.lax.scan(body, jnp.float32(0), (seeds, masks, keys))
         return c
 
+    # ---- stage: both forwards VMAPPED over stacked params + ct loss
+    pstack = jax.tree.map(lambda a, b: jnp.stack([a, b]), s1.params, s2.params)
+
+    def fwd2_vmap(pstack, data, seeds, masks, key):
+        def body(c, inp):
+            b_seeds, b_mask, k = inp
+            kb, k1h, k2h = jax.random.split(k, 3)
+            tb, xs, la = S._sample_tree(kb, data, b_seeds, b_mask, fanouts, True)
+            yb = jnp.take(data.yhn, b_seeds)
+            cb = jnp.take(data.clean, b_seeds)
+
+            def one(p, kk):
+                return nets.apply_tree(spec, p, xs, list(tb.masks), tb.fanouts,
+                                       train=True, key=kk, leaf_agg=la)["logits"]
+
+            oo = jax.vmap(one)(pstack, jnp.stack([k1h, k2h]))
+            out = ct_loss(oo[0], oo[1], yb, fr, cb, b_mask)
+            return c + out.loss_1 + out.loss_2, None
+        keys = jax.random.split(key, args.steps)
+        c, _ = jax.lax.scan(body, jnp.float32(0), (seeds, masks, keys))
+        return c
+
     # ---- stage: full step (epoch driver)
     epoch_fn = S.make_ct_epoch(spec, opt, fanouts, exact_leaf=True)
 
@@ -219,6 +241,8 @@ def main():
           jax.random.key(9))
     timed("+forward x1", fwd1, data, seeds, masks, jax.random.key(9))
     timed("+forward x2 + ct_loss", fwd2_loss, data, seeds, masks, jax.random.key(9))
+    timed("+fwd x2 VMAPPED + ct_loss", fwd2_vmap, pstack, data, seeds, masks,
+          jax.random.key(9))
     timed("full step (grad+update x2)", full, data, seeds, masks, jax.random.key(9))
 
 
