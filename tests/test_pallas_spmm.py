@@ -128,6 +128,26 @@ def test_bf16_output_and_device_pack():
             rtol=1e-4, atol=1e-4)
 
 
+def test_power_law_hubs_and_sparse_tail():
+    # hub dst rows whose in-degree spans many EDGE_CHUNKs (multi-chunk
+    # blocks with straddles at both ends) next to a long near-empty tail
+    # (many blocks sharing one chunk) — the compact layout's hard cases
+    rng = np.random.default_rng(13)
+    n = 4000
+    hub_dst = rng.integers(0, 40, 3 * EDGE_CHUNK)          # few hot rows
+    tail_dst = rng.integers(40, n, 4000)                   # sparse tail
+    dst = np.concatenate([hub_dst, tail_dst]).astype(np.int32)
+    src = rng.integers(0, n, dst.shape[0]).astype(np.int32)
+    ei = np.stack([src, dst])
+    csr = CSRGraph.from_coo(ei, n)
+    x = jnp.asarray(rng.standard_normal((n, 128)), jnp.float32)
+    op = PallasSpmm(np.asarray(csr.indptr), np.asarray(csr.indices), n)
+    want = gather_scatter_mean(x, jnp.asarray(ei), n)
+    out = op.apply(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_isolated_nodes_and_empty_blocks():
     # only a handful of edges at the start; later row blocks are empty
     n = 1500
