@@ -44,7 +44,13 @@ def plot_metrics_file(metrics_path: str, out_path: str | None = None) -> str | N
         if plotted:
             ax.legend(fontsize=7)
     plt.tight_layout()
-    out = out_path or metrics_path.replace(".jsonl", ".png")
+    # default: <out_dir>/plots/<run>.png, a sibling of metrics/ (reference
+    # writes to ../out_plots/, src/pipeline.py:359)
+    out = out_path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(metrics_path))),
+        "plots",
+        os.path.basename(metrics_path).replace(".jsonl", ".png"),
+    )
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     plt.savefig(out)
     plt.close(fig)

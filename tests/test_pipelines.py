@@ -2,6 +2,8 @@
 noise-robust path beats chance (reference's empirical-validation style,
 SURVEY §4)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -185,3 +187,16 @@ def test_main_dispatch_table():
     finally:
         for nm in names:
             setattr(climain, nm, saved[nm])
+
+
+def test_plot_export(tmp_path):
+    """do_plot renders the reference-style multi-panel PNG from the metrics
+    stream (reference: matplotlib tails of every pipeline,
+    src/pipeline.py:315-360)."""
+    import glob
+
+    cfg = tiny_config(tmp_path, train_type="nalgo", do_plot=True, max_epochs=3)
+    PipelineS(cfg).loop()
+    pngs = glob.glob(str(tmp_path / "plots" / "*.png"))
+    assert pngs, "do_plot must write a PNG under out_dir/plots"
+    assert os.path.getsize(pngs[0]) > 1000
