@@ -84,16 +84,37 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small datasets only")
     ap.add_argument("--out", default="docs/RESULTS.md")
+    ap.add_argument("--one", help="(internal) run one row: JSON {base, ov}")
     args = ap.parse_args()
+
+    if args.one:
+        spec = json.loads(args.one)
+        print(json.dumps(run_one(spec["base"], spec["ov"])), flush=True)
+        return
 
     matrix = MATRIX + ([] if args.quick else MATRIX_BIG)
     rows = []
     for label, base, ov in matrix:
         print(f"== {label}", flush=True)
+        # each row in its own PROCESS: a transient TPU/tunnel error poisons
+        # the jax client for the rest of the process (observed: one
+        # FailedPrecondition cascaded into every later row)
+        import subprocess
+
+        payload = json.dumps({"base": base, "ov": ov})
         try:
-            res = run_one(base, ov)
-        except Exception as e:  # keep the suite going; report the failure
-            res = {"error": repr(e)}
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", payload],
+                capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            last = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if proc.returncode == 0 and last:
+                res = json.loads(last[-1])
+            else:
+                res = {"error": (proc.stderr or proc.stdout)[-500:]}
+        except subprocess.TimeoutExpired:
+            res = {"error": "timeout"}
         print(json.dumps({label: res}), flush=True)
         rows.append((label, base, ov, res))
 
