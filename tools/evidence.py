@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small datasets only")
     ap.add_argument("--out", default="docs/RESULTS.md")
     ap.add_argument("--one", help="(internal) run one row: JSON {base, ov}")
+    ap.add_argument("--from-log", help="assemble the report from a prior "
+                    "run's stdout log (no TPU work); rows missing from the "
+                    "log are skipped")
+    ap.add_argument("--only", help="substring filter on row labels")
     args = ap.parse_args()
 
     if args.one:
@@ -92,9 +96,31 @@ def main():
         print(json.dumps(run_one(spec["base"], spec["ov"])), flush=True)
         return
 
+    logged: dict = {}
+    if args.from_log:
+        for line in open(args.from_log):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if len(d) == 1:
+                    (k, v), = d.items()
+                    if isinstance(v, dict):
+                        logged[k] = v
+
     matrix = MATRIX + ([] if args.quick else MATRIX_BIG)
+    if args.only:
+        matrix = [m for m in matrix if args.only in m[0]]
     rows = []
     for label, base, ov in matrix:
+        if label in logged:
+            rows.append((label, base, ov, logged[label]))
+            continue
+        if args.from_log:  # assembly-only mode: never touch the TPU
+            rows.append((label, base, ov, {"error": "not in log"}))
+            continue
         print(f"== {label}", flush=True)
         # each row in its own PROCESS: a transient TPU/tunnel error poisons
         # the jax client for the rest of the process (observed: one
