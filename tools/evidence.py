@@ -33,6 +33,10 @@ def run_one(base_cfg: str, overrides: dict) -> dict:
     out = {"wall_s": round(time.time() - t0, 1)}
     if isinstance(res, dict) and "test" in res:  # PipelineCT: final accs dict
         res = {"contrastive": (float(res["test"]), 0.0)}
+    if isinstance(res, tuple):  # train_type 'nalgo'/'baseline' alone
+        res = {overrides.get("train_type", "nalgo") or "nalgo": res}
+    if isinstance(res, list):  # PipelineSG grid rows
+        res = {"grid_best": (float(res[0]["acc"]), 0.0)}
     for branch, val in (res or {}).items():
         if isinstance(val, tuple) and len(val) == 2:
             out[branch] = {"mean": round(val[0], 4), "std": round(val[1], 4)}
