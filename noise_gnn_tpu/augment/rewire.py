@@ -85,7 +85,11 @@ def topk_rewire(
     n = h.shape[0]
     e = edge_index.shape[1]
     k2 = max(2 * int(n * k_percent), 1)
-    hn = l2_normalize(h.astype(jnp.float32))
+    # only integer edge ids / boolean masks leave this function, so no
+    # gradient can flow through the similarity scores (the reference's
+    # torch.topk indices are equally non-differentiable) — cut the autodiff
+    # graph explicitly so jit never builds a backward for the O(N^2) SDDMM
+    hn = l2_normalize(jax.lax.stop_gradient(h).astype(jnp.float32))
     if edge_mask is None:
         edge_mask = jnp.ones((e,), bool)
     off_diag = edge_index[0] != edge_index[1]

@@ -95,7 +95,7 @@ class FullGraphInference:
 
         self._jitted = jax.jit(self._forward)
 
-    def _agg(self, x: Array, mean: bool, parts=None) -> Array:
+    def _agg(self, x: Array, mean: bool, parts=None, edge_index=None) -> Array:
         if self.backend == "pallas":
             # out_dtype=x.dtype: the kernel accumulates in f32 and casts at
             # the flush DMA, so a bf16 compute dtype halves the flush +
@@ -104,10 +104,12 @@ class FullGraphInference:
                 _pad_cols(x), parts, mean, False, out_dtype=x.dtype
             )[:, : x.shape[-1]]
         if mean:
-            return gather_scatter_mean(x, self._edge_index, self.num_nodes)
-        return gather_scatter_sum(x, self._edge_index, self.num_nodes)
+            return gather_scatter_mean(x, edge_index, self.num_nodes)
+        return gather_scatter_sum(x, edge_index, self.num_nodes)
 
-    def _forward(self, params: dict, x: Array, parts=None, x_agg=None) -> Array:
+    def _forward(
+        self, params: dict, x: Array, parts=None, x_agg=None, edge_index=None
+    ) -> Array:
         spec = self.spec
         if spec.compute_dtype != "float32":
             x = x.astype(jnp.dtype(spec.compute_dtype))
@@ -120,11 +122,11 @@ class FullGraphInference:
                 # agg(x) is too (ops/leaf_agg.py) — layer 1 is matmul-only
                 agg = x_agg.astype(x.dtype)
             elif is_gcn:
-                agg = self._agg(x, mean=False, parts=parts)
+                agg = self._agg(x, mean=False, parts=parts, edge_index=edge_index)
             elif spec.aggr == "max":
-                agg = gather_scatter_max(x, self._edge_index, self.num_nodes)
+                agg = gather_scatter_max(x, edge_index, self.num_nodes)
             else:
-                agg = self._agg(x, mean=True, parts=parts)
+                agg = self._agg(x, mean=True, parts=parts, edge_index=edge_index)
             if is_gcn:
                 x = (agg + x) @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
             else:
@@ -144,4 +146,7 @@ class FullGraphInference:
             # travel as args, not closed-over constants (large closures
             # break remote compile)
             return self._jitted(params, x, self._spmm._parts, self._x_agg)
-        return self._jitted(params, x, None, self._x_agg)
+        # edge_index travels as an argument for the same reason: a closed-over
+        # device array serializes into the remote-compile payload (HTTP 413 on
+        # big graphs) and gets constant-folded at compile time on CPU
+        return self._jitted(params, x, None, self._x_agg, self._edge_index)
