@@ -116,6 +116,14 @@ class FullGraphInference:
         if spec.module == "gat":
             raise NotImplementedError("gat inference uses the edge-list path")
         is_gcn = spec.module == "gcn"
+        if spec.use_bn:
+            # parity with the stack forward (models/nets.py _stack_forward):
+            # bn1 on the input, bn2 after each inter-layer ReLU. x_agg tables
+            # aggregate RAW features, so they are invalid under input BN.
+            from ..models.layers import batch_norm
+
+            assert x_agg is None, "x_agg is incompatible with use_bn"
+            x = batch_norm(params["bn1"], x)
         for i, p in enumerate(params["convs"]):
             if i == 0 and x_agg is not None:
                 # precomputed first-layer aggregate: x is run-constant, so
@@ -137,6 +145,10 @@ class FullGraphInference:
                 )
             if i != spec.num_layers - 1:
                 x = jax.nn.relu(x)
+                if spec.use_bn:
+                    from ..models.layers import batch_norm
+
+                    x = batch_norm(params["bn2"], x)
         return x.astype(jnp.float32)
 
     def __call__(self, params: dict, x: Array) -> Array:

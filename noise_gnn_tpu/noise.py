@@ -50,8 +50,14 @@ def build_noise_matrix(
         mat[row1, row2] += prob
     elif noise_type == "aim_pair":
         pinned = np.array([[0, 1, 2], [3, 4, 5]])
-        if C <= pinned.shape[1]:
-            raise ValueError("aim_pair needs more classes than pinned pairs")
+        # the pinned pairs index classes up to 5, so C must exceed 5 — the
+        # reference's guard (src/utils/noise.py:29-31) only rejects C<=3 and
+        # crashes out-of-bounds for C in {4, 5}; fixed properly here
+        if C <= int(pinned.max()):
+            raise ValueError(
+                f"aim_pair pins pairs over classes 0-{int(pinned.max())}; "
+                f"needs num_classes > {int(pinned.max())}, got {C}"
+            )
         numbers = np.arange(C)
         free1 = np.setdiff1d(numbers, pinned[0])
         free2 = np.setdiff1d(numbers, pinned[1])

@@ -46,6 +46,10 @@ class BasePipeline:
     """Shared setup: data, noise, schedules, logger, batching, eval."""
 
     schedule_variant = "ogb"
+    # re-flip labels at the top of every run (reference src/pipeline.py:207-208
+    # does this for BOTH the nalgo and baseline branches); the small-graph
+    # pipelines flip once (src/pipeline_s.py semantics)
+    reflip_per_run = True
 
     def __init__(self, config: dict):
         validate_config(config)
@@ -76,6 +80,11 @@ class BasePipeline:
             f"   setup: load_network {self._t_load:.1f}s, "
             f"noise+device placement {time.perf_counter() - t0:.1f}s"
         )
+        # noise-matrix snapshot for offline inspection (reference
+        # src/pipeline_contrast.py:56 saves ../out_nmat/<name>.npy)
+        nmat_dir = os.path.join(config.get("out_dir", "out"), "nmat")
+        os.makedirs(nmat_dir, exist_ok=True)
+        np.save(os.path.join(nmat_dir, f"{self.output_name}.npy"), self.noise_mat)
 
         self.fanouts = tuple(int(f) for f in config["nbr_neighbors"])[
             : config["num_layers"]
@@ -250,10 +259,15 @@ class BasePipeline:
             from ..eval.inference import FullGraphInference
 
             # layer 1 aggregates the run-constant raw features — reuse the
-            # exact-leaf table (or build it) so eval skips one full SpMM
-            kind = "sum" if spec.module == "gcn" else spec.aggr
-            f = self.data.x.shape[-1]
-            x_agg = self._fused_table(kind)[:, f:]
+            # exact-leaf table (or build it) so eval skips one full SpMM.
+            # Under input BN the first layer aggregates bn1(x), which changes
+            # every step — no constant table exists, so skip it.
+            if spec.use_bn:
+                x_agg = None
+            else:
+                kind = "sum" if spec.module == "gcn" else spec.aggr
+                f = self.data.x.shape[-1]
+                x_agg = self._fused_table(kind)[:, f:]
             infer = FullGraphInference(
                 spec, None, self.graph.num_nodes,
                 csr=self.data.csr, indptr_np=self._host_indptr(),
@@ -325,9 +339,13 @@ class BasePipeline:
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
-        noise_mat = jnp.asarray(self.noise_mat, jnp.float32)
         best_accs = []
         for run in range(int(c["num_runs"])):
+            if self.reflip_per_run and run > 0:
+                # fresh noise realization per run, like the nalgo branch
+                # (reference re-flips for both, src/pipeline.py:207-208)
+                self._flip_labels()
+            noise_mat = jnp.asarray(self.noise_mat, jnp.float32)
             s = S.init_state(self.next_key(), spec, self.optimizer)
             best = 0.0
             for epoch in range(int(c["max_epochs"])):
@@ -758,6 +776,14 @@ class PipelineCT(BasePipeline):
                                                lam=float(c["lambda"]))
         s = S.TrainState(best_params, ft_opt.init(best_params))
         bs2 = min(1024, max(clean_ids.size, 1))
+        # best-epoch reporting like every other pipeline (the reference only
+        # logs val acc per epoch; the repo-wide criterion is best test acc)
+        start_acc = evaluate(s.params)
+        best_test = start_acc["test"]
+        self.logger.info(
+            f"   finetune start (warmup best-val params): "
+            f"val {start_acc['valid']:.3f} test {start_acc['test']:.3f}"
+        )
         for epoch in range(warmup, int(c["max_epochs"])):
             cs, cm = self.epoch_seed_matrix(clean_ids, bs2)
             ns, nm = self.epoch_seed_matrix(noisy_ids, bs2)
@@ -768,15 +794,22 @@ class PipelineCT(BasePipeline):
             )
             rec = self._fetch_metrics(agg, max(nb, 1))
             acc = evaluate(s.params)
+            best_test = max(best_test, acc["test"])
             self.metrics.write(event="finetune", epoch=epoch, **rec,
                                val_acc=acc["valid"], test_acc=acc["test"])
             self.logger.info(
                 f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
                 f"loss semi: {rec.get('loss_semi', 0):.3f} "
                 f"loss cont: {rec.get('loss_cont', 0):.3f} "
-                f"val acc {acc['valid']:.3f}"
+                f"val acc {acc['valid']:.3f} test acc {acc['test']:.3f}"
             )
-        return evaluate(s.params)
+        final = evaluate(s.params)
+        self.metrics.write(event="summary_contrastive", mean=best_test, std=0.0,
+                           final=final["test"], warmup_best_val=best_val)
+        self.logger.info(
+            f"   contrastive best test {best_test:.3f} (final {final['test']:.3f})"
+        )
+        return {"contrastive": (best_test, 0.0), "final": final}
 
     def _split(self, spec, p1, p2, epoch):
         """Small-loss partition of the train set (reference split(),

@@ -87,3 +87,46 @@ def test_load_index_caching(tmp_path):
     g2 = load_network(cfg)
     np.testing.assert_array_equal(g1.train_mask, g2.train_mask)
     np.testing.assert_array_equal(g1.test_mask, g2.test_mask)
+
+
+def test_real_npz_roundtrip_with_official_splits(tmp_path):
+    """The real-dataset ingestion branch (graph/datasets.py _load_npz):
+    a hand-built npz with official-style split indices must round-trip with
+    the provided splits honored, undirected conversion applied (arxiv), and
+    feature normalization applied (pubmed) — reference semantics
+    src/utils/load_utils.py:24-47."""
+    rng = np.random.default_rng(0)
+    n, f, c, e = 120, 16, 40, 600
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    y = rng.integers(0, c, n).astype(np.int32)
+    # directed edges (so arxiv's ToUndirected has something to do)
+    src = rng.integers(0, n, e)
+    dst = (src + 1 + rng.integers(0, n - 1, e)) % n
+    edge_index = np.stack([src, dst]).astype(np.int32)
+    tr = np.arange(0, 50)
+    va = np.arange(50, 80)
+    te = np.arange(80, 120)
+    np.savez(tmp_path / "ogbn-arxiv.npz", x=x, y=y, edge_index=edge_index,
+             train_idx=tr, valid_idx=va, test_idx=te)
+
+    g = load_network({"dataset_name": "ogbn-arxiv", "data_dir": str(tmp_path),
+                      "seed": 0})
+    # provided split indices honored verbatim (no random re-split)
+    idx = g.split_idx()
+    np.testing.assert_array_equal(np.sort(idx["train"]), tr)
+    np.testing.assert_array_equal(np.sort(idx["valid"]), va)
+    np.testing.assert_array_equal(np.sort(idx["test"]), te)
+    # undirected: every edge has its reverse
+    pairs = set(zip(g.edge_index[0].tolist(), g.edge_index[1].tolist()))
+    assert all((b, a) in pairs for a, b in pairs)
+    # features and labels round-trip
+    assert g.num_classes == int(y.max()) + 1
+    assert g.x.shape == (n, f)
+
+    # pubmed branch: NormalizeFeatures row-normalization on the npz features
+    x_pos = np.abs(x)
+    np.savez(tmp_path / "pubmed.npz", x=x_pos, y=y, edge_index=edge_index,
+             train_idx=tr, valid_idx=va, test_idx=te)
+    g2 = load_network({"dataset_name": "pubmed", "data_dir": str(tmp_path),
+                       "seed": 0})
+    np.testing.assert_allclose(g2.x.sum(axis=1), np.ones(n), rtol=1e-5)

@@ -56,3 +56,17 @@ def test_inference_with_precomputed_x_agg(module, aggr):
         np.asarray(fast(params, x)), np.asarray(base(params, x)),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_inference_bn_matches_apply():
+    """use_bn specs: FullGraphInference and the edge-list eval path must
+    agree (round-1 gap: inference silently dropped bn1/bn2)."""
+    g = synthetic_graph(300, 32, 4, 2000, seed=3)
+    spec = nets.NetSpec(module="sage", in_size=32, hidden_size=16, out_size=4,
+                        num_layers=2, use_bn=True)
+    params = nets.init_params(jax.random.key(3), spec)
+    infer = FullGraphInference(spec, g.edge_index, g.num_nodes, backend="xla")
+    got = infer(params, jnp.asarray(g.x))
+    want = nets.apply(spec, params, jnp.asarray(g.x), jnp.asarray(g.edge_index),
+                      train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

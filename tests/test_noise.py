@@ -73,3 +73,21 @@ def test_add_feature_noise():
     out = add_feature_noise(x, prob=0.5, std=1.0, rng=np.random.default_rng(2))
     frac = (out != 0).mean()
     assert 0.4 < frac < 0.6
+
+
+def test_aim_pair_small_class_counts_rejected():
+    """aim_pair pins pairs over classes 0-5; C in {4, 5} must raise cleanly
+    instead of indexing out of bounds (latent bug in reference noise.py:29-50)."""
+    import pytest
+
+    from noise_gnn_tpu.noise import build_noise_matrix
+
+    for c in (2, 3, 4, 5):
+        with pytest.raises(ValueError):
+            build_noise_matrix(c, "aim_pair", 0.3)
+    mat = build_noise_matrix(6, "aim_pair", 0.3)
+    assert mat.shape == (6, 6)
+    # rows remain stochastic
+    import numpy as np
+
+    np.testing.assert_allclose(mat.sum(axis=1), np.ones(6), atol=1e-9)

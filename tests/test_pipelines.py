@@ -102,7 +102,8 @@ def test_pipeline_ct(tmp_path):
                       max_epochs=3, warmup=2, batch_size=128,
                       prob_s=0.05, prob_l=0.1)
     res = PipelineCT(cfg).loop()
-    assert np.isfinite(res["valid"])
+    assert np.isfinite(res["contrastive"][0])
+    assert np.isfinite(res["final"]["valid"])
 
 
 def test_pipeline_analysis(tmp_path):
