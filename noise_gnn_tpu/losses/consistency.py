@@ -11,8 +11,25 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.scatter import segment_count, segment_sum
+from ..ops.tree_agg import TreeTopo, tree_parent_gather
 
 Array = jax.Array
+
+
+def _out_neighbor_mean(edge_index, h: Array, edge_mask, epsilon: float) -> Array:
+    """Row-normalized A·h over edge SOURCES: mean over each node's
+    out-neighbors in the subgraph (reference torch.sparse.mm pattern,
+    losses.py:199-201). TreeTopo inputs take the scatter-free path."""
+    if isinstance(edge_index, TreeTopo):
+        total, deg = tree_parent_gather(h, edge_index)
+        return total / (deg[:, None] + epsilon)
+    n = h.shape[0]
+    row, col = edge_index[0], edge_index[1]
+    if edge_mask is not None:
+        row = jnp.where(edge_mask, row, n)
+    total = segment_sum(jnp.take(h, col, axis=0), row, n + 1)[:n]
+    deg = segment_count(row, n + 1)[:n]
+    return total / (deg[:, None] + epsilon)
 
 
 def entropy(p: Array, axis: int = -1) -> Array:
@@ -34,14 +51,7 @@ def get_uncertainty(
     out-neighbors in the sampled subgraph), row-normalized by out-degree.
     """
     p = jnp.exp(y_pure)
-    n = p.shape[0]
-    row, col = edge_index[0], edge_index[1]
-    if edge_mask is not None:
-        row = jnp.where(edge_mask, row, n)
-    msgs = jnp.take(p, col, axis=0)
-    ptc = segment_sum(msgs, row, n + 1)[:n]
-    deg = segment_count(row, n + 1)[:n]
-    ptc = ptc / (deg[:, None] + epsilon)
+    ptc = _out_neighbor_mean(edge_index, p, edge_mask, epsilon)
     hpt = entropy(ptc)
     return jnp.exp(-hpt / jnp.log2(jnp.asarray(float(nbr_classes))))
 
@@ -111,13 +121,7 @@ def neighbor_align(
     the intended math: sharpened neighborhood mean of h, KL against h on
     noisy-selected rows with a confidence filter.
     """
-    n = h.shape[0]
-    row, col = edge_index[0], edge_index[1]
-    if edge_mask is not None:
-        row = jnp.where(edge_mask, row, n)
-    mean = segment_sum(jnp.take(h, col, axis=0), row, n + 1)[:n]
-    deg = segment_count(row, n + 1)[:n]
-    mean = mean / (deg[:, None] + epsilon)
+    mean = _out_neighbor_mean(edge_index, h, edge_mask, epsilon)
     powed = jnp.power(jnp.maximum(mean, 0.0), 1.0 / temp)
     sharp = jax.lax.stop_gradient(
         powed / jnp.sum(powed + epsilon, axis=-1, keepdims=True)

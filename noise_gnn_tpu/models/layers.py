@@ -22,8 +22,22 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.scatter import gather_scatter_max, gather_scatter_mean, gather_scatter_sum
+from ..ops.tree_agg import TreeTopo, tree_gather_scatter
 
 Array = jax.Array
+
+
+def _neighbor_agg(x, edge_index, num_nodes, edge_mask, aggr):
+    """Aggregation dispatch: [2, E] edge list -> gather+scatter backend;
+    TreeTopo (flat tree subgraph) -> scatter-free structured backend
+    (ops/tree_agg.py; TPU scatter-add is ~3 orders slower at these shapes)."""
+    if isinstance(edge_index, TreeTopo):
+        return tree_gather_scatter(x, edge_index, aggr=aggr)
+    if aggr == "max":
+        return gather_scatter_max(x, edge_index, num_nodes, edge_mask)
+    if aggr == "sum":
+        return gather_scatter_sum(x, edge_index, num_nodes, edge_mask)
+    return gather_scatter_mean(x, edge_index, num_nodes, edge_mask)
 
 
 def glorot(key: Array, shape: tuple[int, ...], dtype=jnp.float32) -> Array:
@@ -71,10 +85,7 @@ def sage_conv(
     aggr 'mean' is the reference's PyG default (sage.py:16); 'max' matches
     SAGEConv(aggr='max') semantics (isolated nodes aggregate to 0)."""
     n = num_nodes if num_nodes is not None else x.shape[0]
-    if aggr == "max":
-        agg = gather_scatter_max(x, edge_index, n, edge_mask)
-    else:
-        agg = gather_scatter_mean(x, edge_index, n, edge_mask)
+    agg = _neighbor_agg(x, edge_index, n, edge_mask, aggr)
     out = agg @ params["w_neigh"].astype(x.dtype) + x[:n] @ params["w_root"].astype(x.dtype)
     return out + params["b"].astype(x.dtype)
 
@@ -134,7 +145,7 @@ def gcn_conv(
 ) -> Array:
     """GCNConv(normalize=False): neighbor-sum (+ self loop) then linear."""
     n = num_nodes if num_nodes is not None else x.shape[0]
-    agg = gather_scatter_sum(x, edge_index, n, edge_mask)
+    agg = _neighbor_agg(x, edge_index, n, edge_mask, "sum")
     if add_self_loops:
         agg = agg + x[:n]
     return agg @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)

@@ -34,6 +34,36 @@ def sddmm_cosine(h: Array, edge_index: Array) -> Array:
     )
 
 
+def hier_topk(flat: Array, k: int, seg: int = 128):
+    """Exact top-k of a large 1-D array via a segment-max hierarchy.
+
+    ``lax.top_k`` lowers to a full sort on TPU — O(n log n) over n=32 M
+    elements per rewire block was the round-1 rewire pathology. Two-level
+    selection: (1) per-segment maxima (a reshape+max, bandwidth-bound);
+    (2) top-k over the ~n/seg maxima; (3) top-k over the k winning segments'
+    elements. Exact: every element >= the k-th largest lives in a segment
+    whose max is >= it, and at most k segments can have max >= the k-th
+    largest value, so the k winning segments cover all of them.
+    """
+    n = flat.shape[0]
+    if n <= max(4 * seg, 4 * k):
+        return jax.lax.top_k(flat, min(k, n))
+    pad = (-n) % seg
+    neg_inf = jnp.array(-jnp.inf, flat.dtype)
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full((pad,), neg_inf, flat.dtype)])
+    segs = flat.reshape(-1, seg)
+    maxima = segs.max(axis=1)
+    kk = min(k, maxima.shape[0])
+    _, si = jax.lax.top_k(maxima, kk)
+    cand = jnp.take(segs, si, axis=0).reshape(-1)
+    vals, ci = jax.lax.top_k(cand, min(k, cand.shape[0]))
+    idx = si[ci // seg] * seg + ci % seg
+    # -inf winners (fewer than k real entries) may point into the padding;
+    # clamp so callers always get an in-range index
+    return vals, jnp.minimum(idx, n - 1)
+
+
 def blockwise_topk(
     h_norm: Array,
     k: int,
@@ -64,7 +94,7 @@ def blockwise_topk(
         row_ids = row0 + jnp.arange(block)
         sim = jnp.where((row_ids < n)[:, None], sim, neg_inf)
         sim = mask_fn(row0, row_ids, sim)
-        bv, bc = jax.lax.top_k(sim.reshape(-1), k)
+        bv, bc = hier_topk(sim.reshape(-1), k)
         width = sim.shape[1]
         br = row0 + bc // width
         bc = bc % width

@@ -25,8 +25,9 @@ import jax.numpy as jnp
 import optax
 
 from ..augment.features import shuffle_pos
-from ..augment.rewire import topk_rewire
+from ..augment.rewire import topk_rewire_tree
 from ..graph.containers import CSRGraph
+from ..ops.tree_agg import TreeTopo
 from ..losses.coteaching import backward_correction, codi_loss, cross_entropy, ct_loss
 from ..losses.consistency import fix_cr, get_uncertainty, neighbor_align
 from ..losses.contrastive import (
@@ -358,13 +359,22 @@ def make_baseline_step(
 
 
 def _flat_subgraph(data, tb):
-    """Flat seed-first subgraph view of a sampled tree."""
+    """Flat seed-first subgraph view of a sampled tree.
+
+    Returns the topology as a :class:`TreeTopo` — the conv layers take the
+    scatter-free structured-aggregation path for it (ops/tree_agg.py), which
+    is numerically identical to the edge-list path on ``tb.flat_edges()`` but
+    ~3 orders of magnitude faster on TPU (XLA scatter-add serializes;
+    tools/exp_flat_agg.py)."""
     n_id = tb.flat_n_id()
     node_mask = tb.flat_node_mask()
-    edge_index, edge_mask = tb.flat_edges()
-    x_sub = jnp.take(data.x, n_id, axis=0)
+    edge_mask = (
+        jnp.concatenate(tb.masks[1:]) if len(tb.masks) > 1 else jnp.zeros((0,), bool)
+    )
+    topo = TreeTopo(tb.batch_size, tb.fanouts, edge_mask)
+    x_sub = fast_take(data.x, n_id)
     x_sub = jnp.where(node_mask[:, None], x_sub, 0)
-    return x_sub, n_id, node_mask, edge_index, edge_mask
+    return x_sub, n_id, node_mask, topo
 
 
 def make_te_step(
@@ -492,7 +502,7 @@ def _te_step_math(
     def loss_of(joint, data, batch, key, forget_rate):
         kb, k1, k2, k3, k4, k5, k6, kshuf = jax.random.split(key, 8)
         tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
-        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
+        x_sub, n_id, node_mask, topo = _flat_subgraph(data, tb)
         n_sub = x_sub.shape[0]
         bsz = tb.batch_size
         yb = jnp.take(data.yhn, batch.seeds)
@@ -500,11 +510,11 @@ def _te_step_math(
 
         p1, p2 = joint
         out1 = nets.apply(
-            spec, p1, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
+            spec, p1, x_sub, topo, num_nodes=n_sub,
             train=True, key=k1, n_id=n_id, noise_rate=spl_noise_rate_pos,
         )
         out2 = nets.apply(
-            spec, p2, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
+            spec, p2, x_sub, topo, num_nodes=n_sub,
             train=True, key=k2, n_id=n_id, noise_rate=spl_noise_rate_pos,
         )
         o1 = out1["z_pure"][:bsz]
@@ -517,24 +527,24 @@ def _te_step_math(
         aux = {"ct": ct, "o1": o1, "o2": o2,
                "loss_cont_1": jnp.float32(0), "loss_cont_2": jnp.float32(0)}
         if use_contrast:
-            (pos_e, pos_m), (neg_e, neg_m) = topk_rewire(
-                out1["h_pure"], edge_index, edge_mask, spl_rewire_rate
+            pos_topo, neg_topo = topk_rewire_tree(
+                out1["h_pure"], topo, spl_rewire_rate
             )
             hedge1 = nets.apply(
-                spec, p1, x_sub, pos_e, num_nodes=n_sub, edge_mask=pos_m,
+                spec, p1, x_sub, pos_topo, num_nodes=n_sub,
                 train=True, key=k3, n_id=n_id, noise_rate=spl_noise_rate_pos,
             )["h_pure"]
             hedge2 = nets.apply(
-                spec, p2, x_sub, pos_e, num_nodes=n_sub, edge_mask=pos_m,
+                spec, p2, x_sub, pos_topo, num_nodes=n_sub,
                 train=True, key=k4, n_id=n_id, noise_rate=spl_noise_rate_pos,
             )["h_pure"]
             new_x = shuffle_pos(kshuf, x_sub, spl_noise_rate_neg)
             hneg1 = nets.apply(
-                spec, p1, new_x, neg_e, num_nodes=n_sub, edge_mask=neg_m,
+                spec, p1, new_x, neg_topo, num_nodes=n_sub,
                 train=True, key=k5, n_id=n_id, noise_rate=spl_noise_rate_neg,
             )["h_noisy"]
             hneg2 = nets.apply(
-                spec, p2, new_x, neg_e, num_nodes=n_sub, edge_mask=neg_m,
+                spec, p2, new_x, neg_topo, num_nodes=n_sub,
                 train=True, key=k6, n_id=n_id, noise_rate=spl_noise_rate_neg,
             )["h_noisy"]
             lp1, ln1 = discriminator_innerprod(
@@ -562,7 +572,7 @@ def _ctp_step_math(
     def loss_of(p1, p2, data, batch, key, forget_rate):
         kb, k1, k2 = jax.random.split(key, 3)
         tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
-        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
+        x_sub, n_id, node_mask, topo = _flat_subgraph(data, tb)
         n_sub = x_sub.shape[0]
         bsz = tb.batch_size
         yb = jnp.take(data.yhn, batch.seeds)
@@ -570,7 +580,7 @@ def _ctp_step_math(
 
         def one_out(p, k):
             return nets.apply(
-                spec, p, x_sub, edge_index, num_nodes=n_sub, edge_mask=edge_mask,
+                spec, p, x_sub, topo, num_nodes=n_sub,
                 train=True, key=k, n_id=n_id, noise_rate=spl_noise,
             )
 
@@ -588,18 +598,16 @@ def _ctp_step_math(
             pad1 = jnp.zeros((x_sub.shape[0] - bsz,), bool)
             nm1 = jnp.concatenate([ct.noisy_1, pad1])
             nm2 = jnp.concatenate([ct.noisy_2, pad1])
-            nal1 = neighbor_align(edge_index, out1["y_pure"], nm1,
-                                  temp=ncr_temp, edge_mask=edge_mask)
-            nal2 = neighbor_align(edge_index, out2["y_pure"], nm2,
-                                  temp=ncr_temp, edge_mask=edge_mask)
+            nal1 = neighbor_align(topo, out1["y_pure"], nm1, temp=ncr_temp)
+            nal2 = neighbor_align(topo, out2["y_pure"], nm2, temp=ncr_temp)
             loss1 = loss1 + beta * nal1
             loss2 = loss2 + beta * nal2
         if use_cr:
             w1 = jax.lax.stop_gradient(
-                get_uncertainty(edge_index, out1["y_pure"], spec.out_size, edge_mask)
+                get_uncertainty(topo, out1["y_pure"], spec.out_size)
             )
             w2 = jax.lax.stop_gradient(
-                get_uncertainty(edge_index, out2["y_pure"], spec.out_size, edge_mask)
+                get_uncertainty(topo, out2["y_pure"], spec.out_size)
             )
             cr1 = fix_cr(out1["y_pure"], out1["y_noisy"], bsz, w=w1,
                          sample_mask=batch.mask)
@@ -735,25 +743,25 @@ def _h_step_math(spec, pseudo_spec, fanouts, use_pseudo, beta, rewire_rate):
     def loss_of(joint, data, batch, key, forget_rate):
         kb, k1, k2, k3 = jax.random.split(key, 4)
         tb = sample_khop_tree(kb, data.csr, batch.seeds, fanouts, batch.mask)
-        x_sub, n_id, node_mask, edge_index, edge_mask = _flat_subgraph(data, tb)
+        x_sub, n_id, node_mask, topo = _flat_subgraph(data, tb)
         n_sub = x_sub.shape[0]
         bsz = tb.batch_size
         yb = jnp.take(data.yhn, batch.seeds)
         cb = jnp.take(data.clean, batch.seeds)
 
         p1, p2, pp = joint
-        o1 = nets.apply(spec, p1, x_sub, edge_index, num_nodes=n_sub,
-                        edge_mask=edge_mask, train=True, key=k1)["logits"][:bsz]
-        o2 = nets.apply(spec, p2, x_sub, edge_index, num_nodes=n_sub,
-                        edge_mask=edge_mask, train=True, key=k2)["logits"][:bsz]
+        o1 = nets.apply(spec, p1, x_sub, topo, num_nodes=n_sub,
+                        train=True, key=k1)["logits"][:bsz]
+        o2 = nets.apply(spec, p2, x_sub, topo, num_nodes=n_sub,
+                        train=True, key=k2)["logits"][:bsz]
         ct = ct_loss(o1, o2, yb, forget_rate, cb, batch.mask)
         loss = ct.loss_1 + ct.loss_2
         loss_pred = loss_add = jnp.float32(0)
         if use_pseudo:
             # pseudo labels from the rewired (positive) graph, raw features
-            (pos_e, pos_m), _ = topk_rewire(x_sub, edge_index, edge_mask, rewire_rate)
-            pl = nets.apply(pseudo_spec, pp, x_sub, pos_e, num_nodes=n_sub,
-                            edge_mask=pos_m, train=True, key=k3)["logits"][:bsz]
+            pos_topo, _ = topk_rewire_tree(x_sub, topo, rewire_rate)
+            pl = nets.apply(pseudo_spec, pp, x_sub, pos_topo, num_nodes=n_sub,
+                            train=True, key=k3)["logits"][:bsz]
             pred_soft = jax.lax.stop_gradient(jax.nn.softmax(pl, axis=-1))
             logp1 = jax.nn.log_softmax(o1, axis=-1)
             logp2 = jax.nn.log_softmax(o2, axis=-1)

@@ -188,3 +188,49 @@ def test_partitioned_inference_matches_apply(tiny):
         want = nets.apply(spec, params, data.x, jnp.asarray(g.edge_index))["logits"]
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_halo_spmm_matches_single_device(tiny):
+    """Node-sharded halo-exchange SpMM == single-device aggregation, and the
+    comm accounting is boundary-proportional (VERDICT round-2 item 4)."""
+    from noise_gnn_tpu.parallel.halo import (
+        build_halo_partition,
+        halo_spmm,
+        place_partition,
+        shard_features,
+    )
+
+    g, data = tiny
+    mesh = make_mesh()
+    d = mesh.shape["data"]
+    part = build_halo_partition(g.edge_index, g.num_nodes, d)
+    part = place_partition(mesh, part)
+    xs = shard_features(mesh, g.x, part)
+    for mean in (True, False):
+        out = halo_spmm(mesh, part, xs, mean=mean)
+        fn = gather_scatter_mean if mean else gather_scatter_sum
+        want = fn(data.x, jnp.asarray(g.edge_index), g.num_nodes)
+        np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
+                                   np.asarray(want), rtol=1e-4, atol=1e-4)
+    comm = part.comm_bytes_per_layer(g.num_features)
+    # actual volume counts deduped boundary rows only — strictly less than
+    # shipping every edge, and less than the replicated psum design
+    assert comm["actual"] <= g.num_edges * g.num_features * 4
+    assert comm["actual"] < comm["replicated_psum_equiv"]
+
+
+def test_halo_inference_matches_apply(tiny):
+    from noise_gnn_tpu.parallel.halo import make_halo_inference, shard_features
+
+    g, data = tiny
+    mesh = make_mesh()
+    spec = nets.NetSpec(module="sage", in_size=g.num_features, hidden_size=16,
+                        out_size=g.num_classes, num_layers=2)
+    params = nets.init_params(jax.random.key(0), spec)
+    part, infer = make_halo_inference(mesh, spec, g.edge_index, g.num_nodes)
+    xs = shard_features(mesh, g.x, part)
+    got = np.asarray(infer(params, xs))[: g.num_nodes]
+    want = np.asarray(
+        nets.apply(spec, params, data.x, jnp.asarray(g.edge_index), train=False)["logits"]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
