@@ -94,6 +94,7 @@ class FullGraphInference:
             self._edge_index = jnp.asarray(edge_index)
 
         self._jitted = jax.jit(self._forward)
+        self._jitted_pair = jax.jit(self._forward_pair)
 
     def _agg(self, x: Array, mean: bool, parts=None, edge_index=None) -> Array:
         if self.backend == "pallas":
@@ -150,6 +151,72 @@ class FullGraphInference:
 
                     x = batch_norm(params["bn2"], x)
         return x.astype(jnp.float32)
+
+    def _forward_pair(
+        self, params_pair, x: Array, parts=None, x_agg=None, edge_index=None
+    ):
+        """Both co-teaching networks in ONE pass: activations are concatenated
+        along the feature axis so every SpMM serves both models with a single
+        gather sweep. The gather engine is per-INDEX bound (~147 M idx/s on
+        v5e, row width free up to ≥1 KB — docs/DESIGN.md), so the fused
+        [N, 2H] aggregation costs the same as one model's — eval throughput
+        per model doubles. Per-chunk src dedup (the other roofline attack)
+        measured only 1.01x on dst-sorted chunks of randomly-structured
+        graphs, so index-count *sharing* is the lever that actually works."""
+        spec = self.spec
+        p1, p2 = params_pair
+        if spec.compute_dtype != "float32":
+            x = x.astype(jnp.dtype(spec.compute_dtype))
+        if spec.module == "gat":
+            raise NotImplementedError("gat inference uses the edge-list path")
+        is_gcn = spec.module == "gcn"
+        if spec.use_bn:
+            from ..models.layers import batch_norm
+
+            assert x_agg is None, "x_agg is incompatible with use_bn"
+            x1 = batch_norm(p1["bn1"], x)
+            x2 = batch_norm(p2["bn1"], x)
+        else:
+            x1 = x2 = x
+        for i, (l1, l2) in enumerate(zip(p1["convs"], p2["convs"])):
+            f = x1.shape[-1]
+            if i == 0 and x_agg is not None:
+                agg1 = agg2 = x_agg.astype(x1.dtype)
+            else:
+                both = jnp.concatenate([x1, x2], axis=1)
+                if spec.aggr == "max" and not is_gcn:
+                    agg = gather_scatter_max(both, edge_index, self.num_nodes)
+                else:
+                    agg = self._agg(both, mean=not is_gcn, parts=parts,
+                                    edge_index=edge_index)
+                agg1, agg2 = agg[:, :f], agg[:, f:]
+
+            def conv(p, xi, agg):
+                if is_gcn:
+                    return (agg + xi) @ p["w"].astype(xi.dtype) + p["b"].astype(xi.dtype)
+                return (
+                    agg @ p["w_neigh"].astype(xi.dtype)
+                    + xi @ p["w_root"].astype(xi.dtype)
+                    + p["b"].astype(xi.dtype)
+                )
+
+            x1, x2 = conv(l1, x1, agg1), conv(l2, x2, agg2)
+            if i != spec.num_layers - 1:
+                x1, x2 = jax.nn.relu(x1), jax.nn.relu(x2)
+                if spec.use_bn:
+                    from ..models.layers import batch_norm
+
+                    x1 = batch_norm(p1["bn2"], x1)
+                    x2 = batch_norm(p2["bn2"], x2)
+        return x1.astype(jnp.float32), x2.astype(jnp.float32)
+
+    def pair(self, params1: dict, params2: dict, x: Array):
+        """Fused two-model inference -> (logits1, logits2)."""
+        if self.backend == "pallas":
+            return self._jitted_pair((params1, params2), x, self._spmm._parts,
+                                     self._x_agg)
+        return self._jitted_pair((params1, params2), x, None, self._x_agg,
+                                 self._edge_index)
 
     def __call__(self, params: dict, x: Array) -> Array:
         if self.backend == "pallas":

@@ -251,28 +251,33 @@ class BasePipeline:
             self.logger.info(f"   precomputed '{kind}' x||agg(x) table")
         return self._leaf_agg_cache[kind]
 
+    _STACK_MODULES = ("sage", "gcn", "sageH", "sageFC", "sagePL")
+
+    def _make_infer(self, spec):
+        """Full-graph inference operator for conv-stack modules; picks the
+        Pallas SpMM backend for many-edge graphs on TPU (eval/inference.py)."""
+        from ..eval.inference import FullGraphInference
+
+        # layer 1 aggregates the run-constant raw features — reuse the
+        # exact-leaf table (or build it) so eval skips one full SpMM.
+        # Under input BN the first layer aggregates bn1(x), which changes
+        # every step — no constant table exists, so skip it.
+        if spec.use_bn:
+            x_agg = None
+        else:
+            kind = "sum" if spec.module == "gcn" else spec.aggr
+            f = self.data.x.shape[-1]
+            x_agg = self._fused_table(kind)[:, f:]
+        return FullGraphInference(
+            spec, None, self.graph.num_nodes,
+            csr=self.data.csr, indptr_np=self._host_indptr(),
+            x_agg=x_agg,
+        )
+
     def make_eval(self, spec):
         accs = self._split_accuracy_fn()
-        if spec.module in ("sage", "gcn", "sageH", "sageFC", "sagePL"):
-            # stack-only inference; picks the Pallas SpMM backend for
-            # many-edge graphs on TPU (eval/inference.py)
-            from ..eval.inference import FullGraphInference
-
-            # layer 1 aggregates the run-constant raw features — reuse the
-            # exact-leaf table (or build it) so eval skips one full SpMM.
-            # Under input BN the first layer aggregates bn1(x), which changes
-            # every step — no constant table exists, so skip it.
-            if spec.use_bn:
-                x_agg = None
-            else:
-                kind = "sum" if spec.module == "gcn" else spec.aggr
-                f = self.data.x.shape[-1]
-                x_agg = self._fused_table(kind)[:, f:]
-            infer = FullGraphInference(
-                spec, None, self.graph.num_nodes,
-                csr=self.data.csr, indptr_np=self._host_indptr(),
-                x_agg=x_agg,
-            )
+        if spec.module in self._STACK_MODULES:
+            infer = self._make_infer(spec)
 
             def evaluate(params):
                 return accs(infer(params, self.data.x))
@@ -285,6 +290,31 @@ class BasePipeline:
             return accs(eval_fn(params, self.data.x, self._full_edge_index))
 
         return evaluate
+
+    def make_eval_pair(self, spec):
+        """Fused dual-model evaluation: co-teaching always evaluates BOTH
+        nets on the same graph, and the SpMM gather is per-index bound — one
+        [N, 2H] pass serves both models for the cost of one (docs/DESIGN.md
+        gather-engine findings)."""
+        accs = self._split_accuracy_fn()
+        if spec.module in self._STACK_MODULES:
+            infer = self._make_infer(spec)
+
+            def evaluate2(p1, p2):
+                l1, l2 = infer.pair(p1, p2, self.data.x)
+                return accs(l1), accs(l2)
+
+            return evaluate2
+
+        eval_fn = S.make_eval_fn(spec)
+
+        def evaluate2(p1, p2):
+            return (
+                accs(eval_fn(p1, self.data.x, self._full_edge_index)),
+                accs(eval_fn(p2, self.data.x, self._full_edge_index)),
+            )
+
+        return evaluate2
 
     def spec_for(self, module: str | None = None) -> nets.NetSpec:
         c = self.config
@@ -424,7 +454,7 @@ class PipelineCO(BasePipeline):
             co_lambda=float(c["co_lambda"]),
             exact_leaf=self.exact_leaf_on(spec),
         )
-        evaluate = self.make_eval(spec)
+        evaluate_pair = self.make_eval_pair(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
         edges_per_batch = tree_edges_per_batch(bs, self.fanouts)
@@ -463,8 +493,7 @@ class PipelineCO(BasePipeline):
                 )
                 rec_raw = self._fetch_metrics(agg, nb)  # single device sync
                 t_train = time.perf_counter() - t_train
-                acc1 = evaluate(s1.params)
-                acc2 = evaluate(s2.params)
+                acc1, acc2 = evaluate_pair(s1.params, s2.params)
                 best1, best2 = max(best1, acc1["test"]), max(best2, acc2["test"])
                 rec = dict(rec_raw)
                 rec["train_acc_1"] = rec_raw["correct_1"] * nb / train_idx.shape[0]
@@ -535,7 +564,7 @@ class PipelineTE(BasePipeline):
                                       use_contrast=False, **common)
         epoch_cont = S.make_te_epoch(spec, self.optimizer, self.fanouts,
                                      use_contrast=True, **common)
-        evaluate = self.make_eval(spec)
+        evaluate_pair = self.make_eval_pair(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
         best_accs = []
@@ -555,8 +584,7 @@ class PipelineTE(BasePipeline):
                 s, agg = epoch_fn(s, self.data, seeds, masks, self.next_key(), fr)
                 rec = self._fetch_metrics(agg, nb)  # device sync: train done
                 t_train = time.perf_counter() - t_train
-                acc1 = evaluate(s.params[0])
-                acc2 = evaluate(s.params[1])
+                acc1, acc2 = evaluate_pair(s.params[0], s.params[1])
                 best = max(best, acc1["test"], acc2["test"])
                 self.metrics.write(
                     event="epoch_te", run=run, epoch=epoch, **rec,
@@ -593,7 +621,7 @@ class PipelineCTP(BasePipeline):
         kw = dict(beta=1.0, spl_noise=float(c.get("spl_noise", 0.1)))
         epoch0 = S.make_ctp_epoch(spec, self.optimizer, self.fanouts, use_cr=False, **kw)
         epoch1 = S.make_ctp_epoch(spec, self.optimizer, self.fanouts, use_cr=True, **kw)
-        evaluate = self.make_eval(spec)
+        evaluate_pair = self.make_eval_pair(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
         best_accs = []
@@ -614,8 +642,7 @@ class PipelineCTP(BasePipeline):
                 )
                 rec = self._fetch_metrics(agg, nb)  # device sync: train done
                 t_train = time.perf_counter() - t_train
-                acc1 = evaluate(s1.params)
-                acc2 = evaluate(s2.params)
+                acc1, acc2 = evaluate_pair(s1.params, s2.params)
                 best = max(best, acc1["test"], acc2["test"])
                 self.metrics.write(
                     event="epoch_ctp", run=run, epoch=epoch, **rec,
@@ -649,7 +676,7 @@ class PipelineH(BasePipeline):
         epoch1 = S.make_h_epoch(spec, pseudo_spec, self.optimizer, self.fanouts,
                                 use_pseudo=True,
                                 rewire_rate=float(c.get("spl_rewire_rate", 0.2)))
-        evaluate = self.make_eval(spec)
+        evaluate_pair = self.make_eval_pair(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
         best_accs = []
@@ -672,8 +699,7 @@ class PipelineH(BasePipeline):
                 s, agg = epoch_fn(s, self.data, seeds, masks, self.next_key(), fr)
                 rec = self._fetch_metrics(agg, nb)  # device sync: train done
                 t_train = time.perf_counter() - t_train
-                acc1 = evaluate(s.params[0])
-                acc2 = evaluate(s.params[1])
+                acc1, acc2 = evaluate_pair(s.params[0], s.params[1])
                 best = max(best, acc1["test"], acc2["test"])
                 self.metrics.write(
                     event="epoch_h", run=run, epoch=epoch, **rec,
@@ -706,6 +732,7 @@ class PipelineCT(BasePipeline):
         warm_epoch = S.make_ct_epoch(spec, self.optimizer, self.fanouts,
                                      exact_leaf=self.exact_leaf_on(spec))
         evaluate = self.make_eval(spec)
+        evaluate_pair = self.make_eval_pair(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
 
@@ -743,8 +770,7 @@ class PipelineCT(BasePipeline):
             s1, s2, _ = warm_epoch(
                 s1, s2, self.data_for(spec), seeds, masks, self.next_key(), fr
             )
-            acc1 = evaluate(s1.params)
-            acc2 = evaluate(s2.params)
+            acc1, acc2 = evaluate_pair(s1.params, s2.params)
             self.metrics.write(event="warmup", epoch=epoch,
                                val_acc_1=acc1["valid"], val_acc_2=acc2["valid"])
             self.logger.info(

@@ -70,3 +70,22 @@ def test_inference_bn_matches_apply():
     want = nets.apply(spec, params, jnp.asarray(g.x), jnp.asarray(g.edge_index),
                       train=False)["logits"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("module,use_bn", [("sage", False), ("gcn", False),
+                                           ("sage", True), ("sagePL", False)])
+def test_inference_pair_matches_single(module, use_bn):
+    """Fused dual-model eval (one [N, 2H] SpMM sweep) must equal two
+    independent single-model passes."""
+    g = synthetic_graph(300, 32, 4, 2200, seed=5)
+    spec = nets.NetSpec(module=module, in_size=32, hidden_size=16, out_size=4,
+                        num_layers=2, use_bn=use_bn, nbr_nodes=300)
+    p1 = nets.init_params(jax.random.key(10), spec)
+    p2 = nets.init_params(jax.random.key(11), spec)
+    infer = FullGraphInference(spec, g.edge_index, g.num_nodes, backend="xla")
+    x = jnp.asarray(g.x)
+    l1, l2 = infer.pair(p1, p2, x)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(infer(p1, x)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(infer(p2, x)),
+                               rtol=1e-4, atol=1e-4)

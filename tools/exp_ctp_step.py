@@ -98,7 +98,7 @@ def main():
 
         return loss_of
 
-    for name, use_topo in [("edge-list (round-1)", False), ("TreeTopo (round-2)", True)]:
+    for name, use_topo in [("TreeTopo (round-2)", True)] + ([("edge-list (round-1)", False)] if "--old" in sys.argv else []):
         loss_of = make_loss(use_topo, use_cr=True)
         fwd = jax.jit(lambda p1, p2, k: loss_of(p1, p2, data, batch, k, fr))
         t_f = timeit(fwd, p1, p2, key)
