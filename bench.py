@@ -59,9 +59,10 @@ def main():
 
     import jax
 
-    from noise_gnn_tpu.utils.memory import configure_malloc
+    from noise_gnn_tpu.utils.memory import configure_jax_cache, configure_malloc
 
     configure_malloc()
+    configure_jax_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         args.nodes, args.edges = min(args.nodes, 50_000), min(args.edges, 1_000_000)

@@ -28,6 +28,9 @@ OGB = ("ogbn-arxiv", "ogbn-products")
 
 
 def main(config: dict):
+    from noise_gnn_tpu.utils.memory import configure_jax_cache
+
+    configure_jax_cache()
     algo = config["algo_type"]
     if algo in ("codi", "coteaching"):
         if config.get("what") in ("_test2", "_test3"):

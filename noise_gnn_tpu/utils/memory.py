@@ -52,3 +52,30 @@ def warm_heap(n_bytes: int) -> None:
     arena = np.empty(n_bytes // 8, np.float64)
     arena[:: 512] = 0.0  # touch one word per 4 KB page
     del arena
+
+
+def configure_jax_cache(path: str | None = None) -> bool:
+    """Enable JAX's persistent compilation cache.
+
+    Remote TPU compiles through the dev tunnel run minutes per program, and
+    the evidence/bench harnesses isolate every experiment in a fresh
+    subprocess (tools/evidence.py) — without a persistent cache each row
+    re-pays every compile. Harmless if the backend cannot serialize
+    executables (JAX logs a warning and skips)."""
+    import os
+
+    import jax
+
+    path = path or os.environ.get(
+        "NOISE_GNN_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception:
+        return False

@@ -90,7 +90,7 @@ MATRIX_BIG = [
     ("ogbn-products rand_pair 0.3 co-teaching vs CE (flagship)",
      "config_products.yml",
      dict(train_type="both", compare_loss="normal", num_runs=3,
-          batch_id=90, exact_leaf=True)),
+          batch_id=90, exact_leaf=True, _timeout=10800)),
 ]
 
 
@@ -141,11 +141,12 @@ def main():
         # FailedPrecondition cascaded into every later row)
         import subprocess
 
+        row_timeout = ov.pop("_timeout", 5400)
         payload = json.dumps({"base": base, "ov": ov})
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", payload],
-                capture_output=True, text=True, timeout=3600,
+                capture_output=True, text=True, timeout=row_timeout,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
             last = [l for l in proc.stdout.splitlines() if l.startswith("{")]
