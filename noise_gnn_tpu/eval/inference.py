@@ -115,7 +115,17 @@ class FullGraphInference:
         if spec.compute_dtype != "float32":
             x = x.astype(jnp.dtype(spec.compute_dtype))
         if spec.module == "gat":
-            raise NotImplementedError("gat inference uses the edge-list path")
+            # dense masked attention (reference attention.py is dead code but
+            # kept for completeness) is O(N^2) — small-graph edge-list
+            # backend only, same math as the training forward
+            from ..models.nets import _gat_forward
+
+            assert edge_index is not None, (
+                "gat inference needs the edge-list backend (small graphs)"
+            )
+            return _gat_forward(
+                spec, params, x, edge_index, self.num_nodes, None
+            ).astype(jnp.float32)
         is_gcn = spec.module == "gcn"
         if spec.use_bn:
             # parity with the stack forward (models/nets.py _stack_forward):
@@ -168,7 +178,11 @@ class FullGraphInference:
         if spec.compute_dtype != "float32":
             x = x.astype(jnp.dtype(spec.compute_dtype))
         if spec.module == "gat":
-            raise NotImplementedError("gat inference uses the edge-list path")
+            # dense attention has no shared SpMM to fuse — two plain passes
+            return (
+                self._forward(p1, x, parts, x_agg, edge_index),
+                self._forward(p2, x, parts, x_agg, edge_index),
+            )
         is_gcn = spec.module == "gcn"
         if spec.use_bn:
             from ..models.layers import batch_norm

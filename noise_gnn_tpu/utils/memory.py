@@ -72,6 +72,11 @@ def configure_jax_cache(path: str | None = None) -> bool:
             os.path.abspath(__file__)))), ".jax_cache"),
     )
     try:
+        # per-platform subdir: CPU executables AOT-compiled by one process
+        # can carry machine-feature flags another CPU process rejects
+        # (cpu_aot_loader "could lead to SIGILL" warnings); TPU entries are
+        # the valuable ones and stay stable
+        path = os.path.join(path, jax.default_backend())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -89,3 +89,22 @@ def test_inference_pair_matches_single(module, use_bn):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(infer(p2, x)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_inference_gat_matches_apply():
+    """GAT (dense masked attention) full-graph inference delegates to the
+    edge-list forward instead of raising (round-1 left it NotImplemented)."""
+    g = synthetic_graph(200, 24, 4, 1500, seed=6)
+    spec = nets.NetSpec(module="gat", in_size=24, hidden_size=16, out_size=4,
+                        num_layers=2)
+    params = nets.init_params(jax.random.key(7), spec)
+    infer = FullGraphInference(spec, g.edge_index, g.num_nodes, backend="xla")
+    x = jnp.asarray(g.x)
+    got = infer(params, x)
+    want = nets.apply(spec, params, x, jnp.asarray(g.edge_index),
+                      train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    l1, l2 = infer.pair(params, params, x)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -65,10 +65,10 @@ MATRIX = [
           compare_loss="normal", num_runs=3, batch_id=90)),
 ]
 
+# Ordered most-critical-first so a wall-clock cut still leaves the rows
+# that lacked evidence (round-1 ERROR rows), then the flagship, then
+# refreshes of rows that already had numbers.
 MATRIX_BIG = [
-    ("ogbn-arxiv rand_pair 0.3 co-teaching vs CE", "config_arxiv.yml",
-     dict(train_type="both", what="", module="sage", compare_loss="normal",
-          num_runs=3, batch_id=90)),
     # nonzero noise so the contrastive branch actually fires (the reference's
     # _test3 experiment runs sym 0.5, config/config_test.yml; round-1 ran
     # this at noise 0.0 and loss_cont stayed 0 — VERDICT weak item 4)
@@ -77,6 +77,8 @@ MATRIX_BIG = [
           noise_type="sym", noise_rate=0.5)),
     ("ogbn-arxiv CTP consistency", "config_ctp.yml",
      dict(num_runs=3, max_epochs=30, batch_id=90)),
+    ("ogbn-arxiv pseudo-label (H)", "config_h.yml",
+     dict(num_runs=2, max_epochs=30, batch_id=90)),
     # reference-parity config (next_pair 0.45, hid 128 — a much harder
     # setting than the co-teaching row; do not compare across rows)
     ("ogbn-arxiv contrastive pretrain/finetune", "config_contrast.yml",
@@ -85,12 +87,13 @@ MATRIX_BIG = [
     ("ogbn-arxiv contrastive (rand_pair 0.3, hid 256)", "config_contrast.yml",
      dict(num_runs=1, batch_id=94, noise_type="rand_pair", noise_rate=0.3,
           hidden_size=256, warmup=20, max_epochs=40)),
-    ("ogbn-arxiv pseudo-label (H)", "config_h.yml",
-     dict(num_runs=2, max_epochs=30, batch_id=90)),
     ("ogbn-products rand_pair 0.3 co-teaching vs CE (flagship)",
      "config_products.yml",
      dict(train_type="both", compare_loss="normal", num_runs=3,
           batch_id=90, exact_leaf=True, _timeout=10800)),
+    ("ogbn-arxiv rand_pair 0.3 co-teaching vs CE", "config_arxiv.yml",
+     dict(train_type="both", what="", module="sage", compare_loss="normal",
+          num_runs=3, batch_id=90)),
 ]
 
 
@@ -124,7 +127,9 @@ def main():
                     if isinstance(v, dict):
                         logged[k] = v
 
-    matrix = MATRIX + ([] if args.quick else MATRIX_BIG)
+    # big rows first: they are the ones that need fresh evidence; the small
+    # rows refresh quickly at the end (report order is rebuilt from labels)
+    matrix = MATRIX if args.quick else MATRIX_BIG + MATRIX
     if args.only:
         matrix = [m for m in matrix if args.only in m[0]]
     rows = []
