@@ -55,16 +55,30 @@ class HaloPartition:
     recv_rows: Array
     deg: Array
     boundary_rows_total: int  # sum of true B_sd (for comm accounting)
+    pair_counts: np.ndarray | None = None  # [D, D] true B_sd (host)
 
     def comm_bytes_per_layer(self, feat_dim: int, bytes_per_el: int = 4) -> dict:
-        """Per-layer all_to_all volume. 'actual' counts only true boundary
-        rows; 'padded' is what the static [D, B_max, F] buffer ships."""
+        """Per-layer exchange volume. 'actual' counts only true boundary
+        rows; 'padded' is what the static [D, B_max, F] all_to_all buffer
+        ships; 'ppermute_rounds' is what a round-robin exchange with
+        per-round buffer sizes (max over senders of B_{s, s+k}) would ship."""
         d = self.n_shards
-        return {
+        out = {
             "actual": self.boundary_rows_total * feat_dim * bytes_per_el,
             "padded": d * d * self.b_max * feat_dim * bytes_per_el,
             "replicated_psum_equiv": 2 * self.num_nodes * feat_dim * bytes_per_el * d,
         }
+        if self.pair_counts is not None:
+            rounds = sum(
+                int(max(self.pair_counts[s, (s + k) % d] for s in range(d)))
+                for k in range(1, d)
+            )
+            out["ppermute_rounds"] = rounds * d * feat_dim * bytes_per_el
+            # wire bytes exclude the diagonal (self) block — all_to_all's
+            # self-chunk is a local copy, not ICI traffic
+            offdiag = int(self.pair_counts.sum() - np.trace(self.pair_counts))
+            out["actual_wire"] = offdiag * feat_dim * bytes_per_el
+        return out
 
 
 def build_halo_partition(
@@ -77,6 +91,7 @@ def build_halo_partition(
     per = -(-num_nodes // n_shards)
     s_shard = src // per
     d_shard = dst // per
+    pair_counts = np.zeros((n_shards, n_shards), np.int64)
 
     deg = np.zeros((n_shards * per,), np.float32)
     np.add.at(deg, dst, 1.0)
@@ -101,6 +116,7 @@ def build_halo_partition(
             slot_of[m] = inv  # boundary index within (s, d)
             b_max = max(b_max, rows.shape[0])
             boundary_total += rows.shape[0]
+            pair_counts[s, d] = rows.shape[0]
         per_pair_rows.append(pair_rows)
         src_locals.append(es % per)
         edge_slot_parts.append((edsh, slot_of))
@@ -133,6 +149,7 @@ def build_halo_partition(
         recv_rows=jnp.asarray(recv_rows),
         deg=jnp.asarray(deg),
         boundary_rows_total=boundary_total,
+        pair_counts=pair_counts,
     )
 
 
@@ -150,6 +167,7 @@ def place_partition(mesh, part: HaloPartition) -> HaloPartition:
         recv_rows=jax.device_put(part.recv_rows, sh),
         deg=jax.device_put(part.deg, sh),
         boundary_rows_total=part.boundary_rows_total,
+        pair_counts=part.pair_counts,
     )
 
 
@@ -225,3 +243,45 @@ def make_halo_inference(mesh, spec, edge_index: np.ndarray, num_nodes: int,
         return x.astype(jnp.float32)
 
     return part, infer
+
+
+def locality_order(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    n_shards: int,
+    iters: int = 8,
+    sticky: float = 1.1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Graph-only balanced label propagation for shard locality.
+
+    The halo design's comm volume is proportional to the boundary (unique
+    (dst, src-shard) pairs), and contiguous-ID sharding of a homophilous
+    graph is near worst-case. This recovers community structure from EDGES
+    ALONE (no labels/features): each node repeatedly adopts the shard most
+    of its neighbors live on, with votes scaled by each shard's remaining
+    capacity so partitions stay balanced, then nodes are stably sorted by
+    shard into contiguous blocks. Static graphs pay this once at load time.
+
+    Returns ``(order, inv)``: ``order[new_id] = old_id`` (a permutation to
+    relabel features/labels) and ``inv[old_id] = new_id`` (to relabel
+    edges: ``inv[edge_index]``).
+    """
+    src = np.asarray(edge_index[0], np.int64)
+    dst = np.asarray(edge_index[1], np.int64)
+    per = -(-num_nodes // n_shards)
+    part = np.minimum(np.arange(num_nodes) // per, n_shards - 1).astype(np.int32)
+    target = num_nodes / n_shards
+    nodes = np.arange(num_nodes)
+    for _ in range(iters):
+        counts = np.zeros((num_nodes, n_shards), np.float32)
+        np.add.at(counts, (dst, part[src]), 1.0)
+        np.add.at(counts, (src, part[dst]), 1.0)
+        sizes = np.bincount(part, minlength=n_shards).astype(np.float64)
+        balance = target / np.maximum(sizes, 1.0)
+        score = counts * balance[None, :].astype(np.float32)
+        score[nodes, part] *= sticky  # damp oscillation
+        part = score.argmax(1).astype(np.int32)
+    order = np.argsort(part, kind="stable").astype(np.int64)
+    inv = np.empty_like(order)
+    inv[order] = nodes
+    return order, inv

@@ -465,6 +465,7 @@ class PipelineCO(BasePipeline):
             f"{c['out_dir']}/models/{self.output_name}_ct_ckpt"
         )
         best_accs = []
+        pure_hist = []  # [run][epoch] -> (pure_ratio_1, pure_ratio_2)
         start_run, start_epoch = 0, 0
         s1 = s2 = None
         if c.get("resume") and os.path.exists(ckpt_path + ".npz"):
@@ -483,6 +484,7 @@ class PipelineCO(BasePipeline):
                 s1 = S.init_state(self.next_key(), spec, self.optimizer)
                 s2 = S.init_state(self.next_key(), spec, self.optimizer)
             best1 = best2 = 0.0
+            run_pure = []
             for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 t_train = time.perf_counter()
@@ -498,6 +500,8 @@ class PipelineCO(BasePipeline):
                 rec = dict(rec_raw)
                 rec["train_acc_1"] = rec_raw["correct_1"] * nb / train_idx.shape[0]
                 rec["train_acc_2"] = rec_raw["correct_2"] * nb / train_idx.shape[0]
+                run_pure.append((rec_raw.get("pure_ratio_1", 0.0),
+                                 rec_raw.get("pure_ratio_2", 0.0)))
                 self.metrics.write(
                     event="epoch_ct", run=run, epoch=epoch, **rec,
                     val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
@@ -519,8 +523,18 @@ class PipelineCO(BasePipeline):
                 f"   RUN {run + 1} - best nalgo test acc1: {best1:.3f}   acc2: {best2:.3f}"
             )
             best_accs.append(max(best1, best2))
+            pure_hist.append(run_pure)
             s1 = s2 = None
             start_epoch = 0
+        # pure-ratio curve artifact (reference saves the tensor to disk,
+        # src/pipeline.py:273-275)
+        try:
+            pure_dir = os.path.join(c["out_dir"], "pure")
+            os.makedirs(pure_dir, exist_ok=True)
+            np.save(os.path.join(pure_dir, f"{self.output_name}.npy"),
+                    np.asarray(pure_hist, np.float32))
+        except ValueError:  # ragged after a mid-run resume — keep the JSONL
+            pass
         return self._report_runs("nalgo", best_accs)
 
 class PipelineS(PipelineCO):
@@ -778,7 +792,10 @@ class PipelineCT(BasePipeline):
                 f"v1: {acc1['valid']:.3f} v2: {acc2['valid']:.3f}"
             )
             if acc1["valid"] > best_val:
-                best_val, best_params = acc1["valid"], s1.params
+                # deep-copy: warm_epoch donates its state buffers, so an
+                # alias of s1.params is DELETED by the next epoch call
+                best_val = acc1["valid"]
+                best_params = jax.tree.map(jnp.copy, s1.params)
                 ckpt = f"{c['out_dir']}/models/{c['algo_type']}{self.output_name}"
                 save_checkpoint(ckpt + "_m1", s1.params, {"epoch": epoch})
                 save_checkpoint(ckpt + "_m2", s2.params, {"epoch": epoch})
@@ -940,7 +957,10 @@ class PipelineA(BasePipeline):
                 sel_stats["noisy_total"] += int(noisy.sum())
             acc = evaluate(s1.params)
             if acc["valid"] > best_val:
-                best_val, best_params = acc["valid"], s1.params
+                # deep-copy: epoch_fn donates its state buffers, so an alias
+                # of s1.params would be DELETED by the next epoch call
+                best_val = acc["valid"]
+                best_params = jax.tree.map(jnp.copy, s1.params)
                 save_checkpoint(
                     f"{c['out_dir']}/models/analysis{self.output_name}_best",
                     s1.params, {"epoch": epoch, "val_acc": acc["valid"]},
