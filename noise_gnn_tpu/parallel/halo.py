@@ -211,14 +211,19 @@ def halo_spmm(mesh, part: HaloPartition, x: Array, mean: bool = True) -> Array:
 
 
 def make_halo_inference(mesh, spec, edge_index: np.ndarray, num_nodes: int,
-                        log=None):
+                        log=None, exchange: str = "alltoall"):
     """Distributed full-graph conv-stack inference over node-sharded
     features (replaces partition.make_partitioned_inference's replicated
     design). Returns ``infer(params, x_host) -> logits [N, C] (replicated)``.
+
+    ``exchange``: 'alltoall' (one tiled collective, globally padded) or
+    'ppermute' (round-robin, per-round buffers — less wire traffic when
+    pair sizes are skewed, e.g. after :func:`locality_order`).
     """
     part = place_partition(mesh, build_halo_partition(edge_index, num_nodes,
                                                       mesh.shape["data"]))
     is_gcn = spec.module == "gcn"
+    spmm = halo_spmm_rr if exchange == "ppermute" else halo_spmm
     if log is not None:
         for i in range(spec.num_layers):
             f = spec.in_size if i == 0 else spec.hidden_size
@@ -229,10 +234,10 @@ def make_halo_inference(mesh, spec, edge_index: np.ndarray, num_nodes: int,
             x = x.astype(jnp.dtype(spec.compute_dtype))
         for i, p in enumerate(params["convs"]):
             if is_gcn:
-                agg = halo_spmm(mesh, part, x, mean=False) + x
+                agg = spmm(mesh, part, x, mean=False) + x
                 x = agg @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
             else:
-                agg = halo_spmm(mesh, part, x, mean=True)
+                agg = spmm(mesh, part, x, mean=True)
                 x = (
                     agg @ p["w_neigh"].astype(x.dtype)
                     + x @ p["w_root"].astype(x.dtype)
@@ -285,3 +290,58 @@ def locality_order(
     inv = np.empty_like(order)
     inv[order] = nodes
     return order, inv
+
+
+def halo_spmm_rr(mesh, part: HaloPartition, x: Array, mean: bool = True) -> Array:
+    """Round-robin halo exchange: D-1 ``ppermute`` rounds with PER-ROUND
+    buffer sizes instead of one [D, B_max, F] ``all_to_all``.
+
+    The tiled all_to_all pads every (src, dst) pair to the GLOBAL max
+    boundary B_max; after :func:`locality_order` the pair sizes are highly
+    skewed (intra-community pairs dominate), so the padded buffer ships ~2x
+    the true wire bytes. Round k ships only
+    ``R_k = max_s B_{s,(s+k)%D}`` rows (a static pack-time constant), and
+    the diagonal (self) block never leaves the device. Same result as
+    :func:`halo_spmm`; equality-tested.
+    """
+    d, per, b_max = part.n_shards, part.per, part.b_max
+    assert part.pair_counts is not None, "needs pack-time pair_counts"
+    pc = part.pair_counts
+    r_k = [int(max(pc[s, (s + k) % d] for s in range(d))) for k in range(d)]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+    )
+    def run(x_, src_local, slot, recv_rows, deg):
+        s = jax.lax.axis_index("data")
+        msgs = fast_take(x_, src_local[0])  # [E_max, F]
+        partial = segment_sum(msgs, slot[0], d * b_max + 1)[: d * b_max]
+        partial = partial.reshape(d, b_max, -1)
+        # self block: no wire
+        own = jax.lax.dynamic_index_in_dim(partial, s, 0, keepdims=False)
+        rr = jax.lax.dynamic_index_in_dim(recv_rows[0], s, 0, keepdims=False)
+        acc = segment_sum(own, rr, per + 1)[:per]
+        for k in range(1, d):
+            rk = r_k[k]
+            if rk == 0:
+                continue
+            dst_shard = jax.lax.rem(s + k, d)
+            send = jax.lax.dynamic_index_in_dim(
+                partial, dst_shard, 0, keepdims=False
+            )[:rk]
+            perm = [(i, (i + k) % d) for i in range(d)]
+            recv = jax.lax.ppermute(send, "data", perm)
+            src_shard = jax.lax.rem(s - k + d, d)
+            rows = jax.lax.dynamic_index_in_dim(
+                recv_rows[0], src_shard, 0, keepdims=False
+            )[:rk]
+            acc = acc + segment_sum(recv, rows, per + 1)[:per]
+        if mean:
+            acc = (acc.astype(jnp.float32)
+                   / jnp.maximum(deg[0], 1.0)[:, None]).astype(x_.dtype)
+        return acc
+
+    return run(x, part.src_local, part.slot, part.recv_rows, part.deg)

@@ -268,3 +268,28 @@ def test_locality_order_cuts_boundary(tiny):
         gather_scatter_mean(data.x, jnp.asarray(g.edge_index), g.num_nodes)
     )
     np.testing.assert_allclose(out, want[order], rtol=1e-4, atol=1e-4)
+
+
+def test_halo_spmm_rr_matches_alltoall(tiny):
+    """Round-robin ppermute exchange (per-round buffers) == the tiled
+    all_to_all halo_spmm == single-device aggregation."""
+    from noise_gnn_tpu.parallel.halo import (
+        build_halo_partition,
+        halo_spmm,
+        halo_spmm_rr,
+        place_partition,
+        shard_features,
+    )
+
+    g, data = tiny
+    mesh = make_mesh()
+    d = mesh.shape["data"]
+    part = place_partition(mesh, build_halo_partition(g.edge_index,
+                                                      g.num_nodes, d))
+    xs = shard_features(mesh, g.x, part)
+    for mean in (True, False):
+        a = np.asarray(halo_spmm(mesh, part, xs, mean=mean))[: g.num_nodes]
+        b = np.asarray(halo_spmm_rr(mesh, part, xs, mean=mean))[: g.num_nodes]
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+    comm = part.comm_bytes_per_layer(g.num_features)
+    assert comm["ppermute_rounds"] <= comm["padded"]
