@@ -28,8 +28,11 @@ OGB = ("ogbn-arxiv", "ogbn-products")
 
 
 def main(config: dict):
-    from noise_gnn_tpu.utils.memory import configure_jax_cache
+    from noise_gnn_tpu.utils.memory import configure_jax_cache, configure_malloc
 
+    # library-entry callers (tools/evidence.py) need the slow-first-touch
+    # mitigation just as much as the CLI __main__ path
+    configure_malloc()
     configure_jax_cache()
     algo = config["algo_type"]
     if algo in ("codi", "coteaching"):

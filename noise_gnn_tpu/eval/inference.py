@@ -68,12 +68,21 @@ class FullGraphInference:
         if spec.aggr == "max":
             backend = "xla"  # the Pallas one-hot-matmul reduce is sum/mean only
         self.backend = backend
+        # Per-launch gather-slab budget ~2 GB: the widest row this op carries
+        # is the PAIR path's [*, 2H] fused activations, so size the edge
+        # budget from that (the round-2 products flagship OOM'd when the
+        # dual-width slab doubled the default 4M-edge groups to 4 GB/launch)
+        itemsize = jnp.dtype(spec.compute_dtype).itemsize
+        widest = 2 * max(spec.hidden_size, spec.in_size)
+        edge_budget = max((2 << 30) // max(widest * itemsize, 1), 1 << 20)
         if csr is not None:
             indptr_np = np.asarray(indptr_np, np.int64)
             if backend == "pallas":
                 from ..ops.pallas_spmm import PallasSpmmDevice
 
-                self._spmm = PallasSpmmDevice(indptr_np, csr.indices, self.num_nodes)
+                self._spmm = PallasSpmmDevice(indptr_np, csr.indices,
+                                              self.num_nodes,
+                                              edge_budget=edge_budget)
                 self._edge_index = None
             else:
                 # derive the COO dst on device from the resident CSR
@@ -88,7 +97,8 @@ class FullGraphInference:
             src = np.ascontiguousarray(edge_index[0])
             dst = np.ascontiguousarray(edge_index[1])
             indptr, indices = native.coo_to_csr(src, dst, self.num_nodes)
-            self._spmm = PallasSpmm(indptr, indices, self.num_nodes)
+            self._spmm = PallasSpmm(indptr, indices, self.num_nodes,
+                                    edge_budget=edge_budget)
             self._edge_index = None
         else:
             self._edge_index = jnp.asarray(edge_index)
