@@ -107,9 +107,12 @@ def main():
     # (eval/inference.py FullGraphInference.pair). Counted as 2e model-edges.
     rate_dual = 0.0
     try:
+        # dedicated op with half the edge budget: slab bytes scale with row
+        # width, and 2F rows at the default 4M-edge groups is 4 GB/launch
+        op2 = PallasSpmm(indptr, src, n, edge_budget=2 << 20)
         x2 = jax.random.normal(jax.random.key(1), (n, 2 * f), dtype)
-        jsum2 = jax.jit(lambda xx, parts: op._traced(xx, parts, True, interp).sum())
-        t_dual = fetch_time(lambda: jsum2(x2, op._parts), args.iters)
+        jsum2 = jax.jit(lambda xx, parts: op2._traced(xx, parts, True, interp).sum())
+        t_dual = fetch_time(lambda: jsum2(x2, op2._parts), args.iters)
         rate_dual = 2 * e / t_dual
         log(f"dual-model fused (F={2*f}): {t_dual * 1e3:.1f} ms -> "
             f"{rate_dual / 1e6:.1f} M model-edges/s")

@@ -11,6 +11,8 @@ API:
   sample_hop(indptr, indices, frontier, fanout, seed, frontier_mask=None)
                                        -> (children, mask) host fanout sample
   hash_i32(arr)                        -> FNV-1a checksum
+  label_prop(src, dst, n, d, part, iters, sticky)
+                                       -> part int32 [n] (shard locality)
 """
 
 from __future__ import annotations
@@ -58,6 +60,10 @@ def _load():
     ]
     lib.ngt_hash_i32.argtypes = [i32p, ctypes.c_int64]
     lib.ngt_hash_i32.restype = ctypes.c_uint64
+    lib.ngt_label_prop.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_float, i32p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -150,3 +156,23 @@ def hash_i32(arr: np.ndarray) -> int:
             h = ((h ^ int(v)) * 1099511628211) % (1 << 64)
         return h
     return int(lib.ngt_hash_i32(_p(arr, ctypes.c_int32), arr.shape[0]))
+
+
+def label_prop(src: np.ndarray, dst: np.ndarray, n: int, d: int,
+               part: np.ndarray, iters: int = 8, sticky: float = 1.1):
+    """Balanced label propagation (parallel/halo.py locality_order's hot
+    loop). Mutates and returns ``part`` [n] int32. Returns None without the
+    native lib — the caller runs its numpy recurrence instead (same math;
+    np.add.at over 2e votes costs minutes at products scale, the native
+    path seconds)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    part = np.ascontiguousarray(part, np.int32)
+    lib.ngt_label_prop(
+        _p(src, ctypes.c_int32), _p(dst, ctypes.c_int32), src.shape[0],
+        n, d, iters, ctypes.c_float(sticky), _p(part, ctypes.c_int32),
+    )
+    return part

@@ -277,15 +277,22 @@ def locality_order(
     part = np.minimum(np.arange(num_nodes) // per, n_shards - 1).astype(np.int32)
     target = num_nodes / n_shards
     nodes = np.arange(num_nodes)
-    for _ in range(iters):
-        counts = np.zeros((num_nodes, n_shards), np.float32)
-        np.add.at(counts, (dst, part[src]), 1.0)
-        np.add.at(counts, (src, part[dst]), 1.0)
-        sizes = np.bincount(part, minlength=n_shards).astype(np.float64)
-        balance = target / np.maximum(sizes, 1.0)
-        score = counts * balance[None, :].astype(np.float32)
-        score[nodes, part] *= sticky  # damp oscillation
-        part = score.argmax(1).astype(np.int32)
+    from .. import native
+
+    native_part = native.label_prop(src, dst, num_nodes, n_shards,
+                                    part.copy(), iters=iters, sticky=sticky)
+    if native_part is not None:
+        part = native_part  # C++ threads: ~seconds at products scale
+    else:
+        for _ in range(iters):  # numpy fallback: same recurrence
+            counts = np.zeros((num_nodes, n_shards), np.float32)
+            np.add.at(counts, (dst, part[src]), 1.0)
+            np.add.at(counts, (src, part[dst]), 1.0)
+            sizes = np.bincount(part, minlength=n_shards).astype(np.float64)
+            balance = target / np.maximum(sizes, 1.0)
+            score = counts * balance[None, :].astype(np.float32)
+            score[nodes, part] *= sticky  # damp oscillation
+            part = score.argmax(1).astype(np.int32)
     order = np.argsort(part, kind="stable").astype(np.int64)
     inv = np.empty_like(order)
     inv[order] = nodes

@@ -103,3 +103,37 @@ def test_hash_i32():
     a2 = a.copy()
     a2[500] += 1
     assert native.hash_i32(a2) != h1
+
+
+def test_label_prop_native_matches_numpy_recurrence():
+    """ngt_label_prop == the numpy recurrence in halo.locality_order (same
+    votes, same balance scaling, same sticky, first-max tie-break)."""
+    from noise_gnn_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    n, e, d, iters, sticky = 500, 4000, 4, 6, 1.1
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    per = -(-n // d)
+    part0 = np.minimum(np.arange(n) // per, d - 1).astype(np.int32)
+
+    part_np = part0.copy()
+    for _ in range(iters):
+        counts = np.zeros((n, d), np.float32)
+        np.add.at(counts, (dst, part_np[src]), 1.0)
+        np.add.at(counts, (src, part_np[dst]), 1.0)
+        sizes = np.bincount(part_np, minlength=d).astype(np.float64)
+        balance = (n / d) / np.maximum(sizes, 1.0)
+        score = counts * balance[None, :].astype(np.float32)
+        score[np.arange(n), part_np] *= sticky
+        part_np = score.argmax(1).astype(np.int32)
+
+    part_c = native.label_prop(src, dst, n, d, part0.copy(),
+                               iters=iters, sticky=sticky)
+    # float-op ordering can flip exact ties; demand near-total agreement
+    assert (part_c == part_np).mean() > 0.98
+    assert np.bincount(part_c, minlength=d).max() <= 2 * per
