@@ -130,11 +130,23 @@ class BasePipeline:
             return optax.adamw(lr, weight_decay=wd)
         return optax.adam(lr)
 
-    def _flip_labels(self):
+    def _flip_labels(self, run: int | None = None):
+        """Inject label noise. With ``run`` given, the realization is a pure
+        function of (seed, run) so the nalgo and baseline branches of a
+        multi-run A/B see the SAME per-run noise draws (paired comparison).
+        The reference re-flips per run only in the nalgo branch
+        (src/pipeline.py:207-208) and lets every baseline run reuse the last
+        nalgo draw — unpaired, and rand_pair realizations differ wildly in
+        difficulty (measured flagship spread: best-acc 0.23..0.65 across
+        draws), so pairing is the statistically meaningful upgrade."""
         g = self.graph
+        rng = (
+            np.random.default_rng((int(self.config.get("seed", 0)), run))
+            if run is not None else self.rng
+        )
         yhn, self.noise_mat = flip_label(
             g.y, g.num_classes, self.config["noise_type"],
-            float(self.config["noise_rate"]), self.rng,
+            float(self.config["noise_rate"]), rng,
         )
         self.graph = g.replace(yhn=yhn)
         self.clean = noise_or_not(g.y, yhn)
@@ -371,10 +383,12 @@ class BasePipeline:
         bs = int(c["batch_size"])
         best_accs = []
         for run in range(int(c["num_runs"])):
-            if self.reflip_per_run and run > 0:
-                # fresh noise realization per run, like the nalgo branch
-                # (reference re-flips for both, src/pipeline.py:207-208)
-                self._flip_labels()
+            if self.reflip_per_run:
+                # same (seed, run) realization as nalgo run `run`: a PAIRED
+                # A/B. (The reference re-flips only in the nalgo branch,
+                # src/pipeline.py:207-208 — its baseline runs all reuse the
+                # last nalgo draw, so its comparison is unpaired.)
+                self._flip_labels(run)
             noise_mat = jnp.asarray(self.noise_mat, jnp.float32)
             s = S.init_state(self.next_key(), spec, self.optimizer)
             best = 0.0
@@ -478,8 +492,8 @@ class PipelineCO(BasePipeline):
                 f"   Resumed from {ckpt_path} at run {start_run} epoch {start_epoch}"
             )
         for run in range(start_run, int(c["num_runs"])):
-            if self.reflip_per_run and run > 0:
-                self._flip_labels()
+            if self.reflip_per_run:
+                self._flip_labels(run)  # (seed, run)-keyed: pairs the A/B
             if s1 is None:
                 s1 = S.init_state(self.next_key(), spec, self.optimizer)
                 s2 = S.init_state(self.next_key(), spec, self.optimizer)

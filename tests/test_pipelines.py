@@ -201,3 +201,21 @@ def test_plot_export(tmp_path):
     pngs = glob.glob(str(tmp_path / "plots" / "*.png"))
     assert pngs, "do_plot must write a PNG under out_dir/plots"
     assert os.path.getsize(pngs[0]) > 1000
+
+
+def test_flip_labels_run_keyed_pairing(tmp_path):
+    """_flip_labels(run) must be a pure function of (seed, run): the nalgo
+    and baseline branches of a multi-run A/B then see identical noise
+    realizations (paired comparison; rand_pair draws vary wildly in
+    difficulty)."""
+    from noise_gnn_tpu.train.pipelines import PipelineS
+
+    p1 = PipelineS(tiny_config(tmp_path, batch_id=7101))
+    p2 = PipelineS(tiny_config(tmp_path, batch_id=7102))
+    p1._flip_labels(run=1)
+    y1 = np.asarray(p1.graph.yhn).copy()
+    p2._flip_labels(run=2)
+    p2._flip_labels(run=1)  # order-independent: keyed by (seed, run)
+    np.testing.assert_array_equal(np.asarray(p2.graph.yhn), y1)
+    p2._flip_labels(run=2)
+    assert (np.asarray(p2.graph.yhn) != y1).any()
