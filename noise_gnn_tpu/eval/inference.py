@@ -67,13 +67,21 @@ class FullGraphInference:
             backend = "pallas" if (on_tpu and n_edges >= 4_000_000) else "xla"
         if spec.aggr == "max":
             backend = "xla"  # the Pallas one-hot-matmul reduce is sum/mean only
+        if spec.module == "gat":
+            # dense masked attention consumes the edge LIST, not an SpMM —
+            # force the edge-list backend so _edge_index is always available
+            # (with 'pallas' the gat branch would trip its assert at trace)
+            backend = "xla"
         self.backend = backend
         # Per-launch gather-slab budget ~2 GB: the widest row this op carries
         # is the PAIR path's [*, 2H] fused activations, so size the edge
         # budget from that (the round-2 products flagship OOM'd when the
         # dual-width slab doubled the default 4M-edge groups to 4 GB/launch)
         itemsize = jnp.dtype(spec.compute_dtype).itemsize
-        widest = 2 * max(spec.hidden_size, spec.in_size)
+        # the slab actually launched is lane-padded ([*, 2F] -> next multiple
+        # of LANES), so budget from the padded width or padding-dominated
+        # shapes (e.g. 2F=200 -> 256 lanes) overshoot the 2 GB target
+        widest = -(-2 * max(spec.hidden_size, spec.in_size) // LANES) * LANES
         edge_budget = max((2 << 30) // max(widest * itemsize, 1), 1 << 20)
         if csr is not None:
             indptr_np = np.asarray(indptr_np, np.int64)

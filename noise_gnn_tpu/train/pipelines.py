@@ -597,8 +597,12 @@ class PipelineTE(BasePipeline):
         bs = int(c["batch_size"])
         best_accs = []
         for run in range(int(c["num_runs"])):
-            if run > 0:
-                self._flip_labels()
+            if self.reflip_per_run:
+                # (seed, run)-keyed draw: the SAME realization _loop_baseline
+                # uses for run `run`, making train_type='both' a paired A/B
+                # (reference re-flip semantics src/pipeline.py:207-208 +
+                # docs/PARITY.md deviation 7)
+                self._flip_labels(run)
             p1 = nets.init_params(self.next_key(), spec)
             p2 = nets.init_params(self.next_key(), spec)
             s = S.TrainState((p1, p2), self.optimizer.init((p1, p2)))
@@ -635,6 +639,9 @@ class PipelineTES(PipelineTE):
     """Small-graph TE (reference src/pipeline_test_s.py)."""
 
     schedule_variant = "small"
+    # small-graph semantics: labels flipped ONCE at init, both branches
+    # (reference src/pipeline_test_s.py mirrors src/pipeline_s.py here)
+    reflip_per_run = False
 
 
 class PipelineCTP(BasePipeline):
@@ -654,8 +661,8 @@ class PipelineCTP(BasePipeline):
         bs = int(c["batch_size"])
         best_accs = []
         for run in range(int(c["num_runs"])):
-            if run > 0:
-                self._flip_labels()
+            if self.reflip_per_run:
+                self._flip_labels(run)  # (seed, run)-keyed: pairs the A/B
             s1 = S.init_state(self.next_key(), spec, self.optimizer)
             s2 = S.init_state(self.next_key(), spec, self.optimizer)
             best = 0.0
@@ -709,8 +716,8 @@ class PipelineH(BasePipeline):
         bs = int(c["batch_size"])
         best_accs = []
         for run in range(int(c["num_runs"])):
-            if run > 0:
-                self._flip_labels()
+            if self.reflip_per_run:
+                self._flip_labels(run)  # (seed, run)-keyed: pairs the A/B
             joint = (
                 nets.init_params(self.next_key(), spec),
                 nets.init_params(self.next_key(), spec),
@@ -909,6 +916,10 @@ class PipelineSG(BasePipeline):
                 sub["ct_tau"] = float(tau)
                 sub["num_runs"] = 1
                 sub["do_plot"] = False
+                # grid cells compare hyperparameters, not algo-vs-baseline:
+                # force the nalgo branch (PipelineTES.loop returns a dict for
+                # 'both', which the (mean, std) unpack below cannot take)
+                sub["train_type"] = "nalgo"
                 pipe = PipelineTES(sub)
                 mean, std = pipe.loop()
                 results.append({"beta": float(beta), "tau": float(tau),

@@ -219,3 +219,37 @@ def test_flip_labels_run_keyed_pairing(tmp_path):
     np.testing.assert_array_equal(np.asarray(p2.graph.yhn), y1)
     p2._flip_labels(run=2)
     assert (np.asarray(p2.graph.yhn) != y1).any()
+
+
+@pytest.mark.parametrize(
+    "cls_name,over,expect_runs",
+    [
+        ("PipelineTE", dict(dataset_name="ogbn-arxiv", synthetic_scale=120,
+                            module="sagePL", what="_test3"), [0, 1]),
+        ("PipelineTES", dict(module="sagePL"), []),
+        ("PipelineCTP", dict(module="sagePL", algo_type="ctp"), [0, 1]),
+        ("PipelineH", dict(module="sageH", algo_type="hpseudo"), [0, 1]),
+    ],
+)
+def test_loop_flips_are_run_keyed(tmp_path, cls_name, over, expect_runs):
+    """Every nalgo loop that coexists with _loop_baseline must draw noise
+    keyed by (seed, run) — same realizations as the baseline branch (paired
+    A/B) — and the small-graph TES must flip once at init only (reference
+    flip-once semantics, src/pipeline_s.py)."""
+    import noise_gnn_tpu.train.pipelines as P
+
+    cfg = tiny_config(tmp_path, train_type="nalgo", algo_type="coteaching",
+                      num_runs=2, max_epochs=1, batch_size=64, ct_tk=1,
+                      spl_rewire_rate=0.02)
+    cfg.update(over)
+    pipe = getattr(P, cls_name)(cfg)
+    calls = []
+    orig = pipe._flip_labels
+
+    def spy(run=None):
+        calls.append(run)
+        return orig(run)
+
+    pipe._flip_labels = spy
+    pipe.loop()
+    assert calls == expect_runs
