@@ -38,17 +38,12 @@ def make_dp_ct_epoch(
     """Whole-epoch DP driver: the single-chip lax.scan epoch (steps.py)
     compiled with the per-step seed batch dimension sharded over ``data``.
     GSPMD inserts the gradient all-reduce per scan step; states, graph data
-    and metrics stay replicated."""
-    from ..train.steps import ct_epoch_fn
+    and metrics stay replicated. (Thin alias of steps.make_ct_epoch(mesh=...),
+    which is what the product pipelines call.)"""
+    from ..train.steps import make_ct_epoch
 
-    rep = replicated(mesh)
-    seed_sh = NamedSharding(mesh, P(None, "data"))  # [nsteps, B] -> shard B
-    return functools.partial(
-        jax.jit,
-        donate_argnums=(0, 1),
-        in_shardings=(rep, rep, rep, seed_sh, seed_sh, rep, rep),
-        out_shardings=(rep, rep, rep),
-    )(ct_epoch_fn(spec, optimizer, fanouts, algo, co_lambda, exact_leaf))
+    return make_ct_epoch(spec, optimizer, fanouts, algo, co_lambda,
+                         exact_leaf, mesh=mesh)
 
 
 def make_dp_ct_step(

@@ -55,7 +55,9 @@ class HaloPartition:
     recv_rows: Array
     deg: Array
     boundary_rows_total: int  # sum of true B_sd (for comm accounting)
-    pair_counts: np.ndarray | None = None  # [D, D] true B_sd (host)
+    # [D, D] true B_sd as a nested tuple (hashable: it is static metadata
+    # when a partition crosses a jit boundary as a pytree)
+    pair_counts: tuple | None = None
 
     def comm_bytes_per_layer(self, feat_dim: int, bytes_per_el: int = 4) -> dict:
         """Per-layer exchange volume. 'actual' counts only true boundary
@@ -69,16 +71,25 @@ class HaloPartition:
             "replicated_psum_equiv": 2 * self.num_nodes * feat_dim * bytes_per_el * d,
         }
         if self.pair_counts is not None:
+            pc = np.asarray(self.pair_counts)
             rounds = sum(
-                int(max(self.pair_counts[s, (s + k) % d] for s in range(d)))
+                int(max(pc[s, (s + k) % d] for s in range(d)))
                 for k in range(1, d)
             )
             out["ppermute_rounds"] = rounds * d * feat_dim * bytes_per_el
             # wire bytes exclude the diagonal (self) block — all_to_all's
             # self-chunk is a local copy, not ICI traffic
-            offdiag = int(self.pair_counts.sum() - np.trace(self.pair_counts))
+            offdiag = int(pc.sum() - np.trace(pc))
             out["actual_wire"] = offdiag * feat_dim * bytes_per_el
         return out
+
+
+jax.tree_util.register_dataclass(
+    HaloPartition,
+    data_fields=("src_local", "slot", "recv_rows", "deg"),
+    meta_fields=("num_nodes", "per", "b_max", "e_max", "n_shards",
+                 "boundary_rows_total", "pair_counts"),
+)
 
 
 def build_halo_partition(
@@ -149,7 +160,7 @@ def build_halo_partition(
         recv_rows=jnp.asarray(recv_rows),
         deg=jnp.asarray(deg),
         boundary_rows_total=boundary_total,
-        pair_counts=pair_counts,
+        pair_counts=tuple(map(tuple, pair_counts.tolist())),
     )
 
 
@@ -210,18 +221,30 @@ def halo_spmm(mesh, part: HaloPartition, x: Array, mean: bool = True) -> Array:
     return run(x, part.src_local, part.slot, part.recv_rows, part.deg)
 
 
-def make_halo_inference(mesh, spec, edge_index: np.ndarray, num_nodes: int,
-                        log=None, exchange: str = "alltoall"):
+def make_halo_inference(mesh, spec, edge_index: np.ndarray | None,
+                        num_nodes: int, log=None, exchange: str = "alltoall",
+                        part: HaloPartition | None = None):
     """Distributed full-graph conv-stack inference over node-sharded
     features (replaces partition.make_partitioned_inference's replicated
-    design). Returns ``infer(params, x_host) -> logits [N, C] (replicated)``.
+    design). Returns ``(part, infer, infer_pair)``:
+      infer(params, x_sharded)           -> logits [N_pad, C]
+      infer_pair(params1, params2, x)    -> (logits1, logits2) — both
+        co-teaching nets in ONE sweep: activations concatenated on the
+        feature axis so every halo exchange + local gather serves two
+        models for one model's index traffic (same fusion as
+        eval/inference.FullGraphInference.pair; the gather engine is
+        per-index bound, docs/DESIGN.md).
 
     ``exchange``: 'alltoall' (one tiled collective, globally padded) or
     'ppermute' (round-robin, per-round buffers — less wire traffic when
     pair sizes are skewed, e.g. after :func:`locality_order`).
+    ``part``: a pre-built (already placed) partition to reuse across spec
+    variants — the pack is per-(graph, n_shards), not per-model.
     """
-    part = place_partition(mesh, build_halo_partition(edge_index, num_nodes,
-                                                      mesh.shape["data"]))
+    if part is None:
+        part = place_partition(
+            mesh, build_halo_partition(edge_index, num_nodes,
+                                       mesh.shape["data"]))
     is_gcn = spec.module == "gcn"
     spmm = halo_spmm_rr if exchange == "ppermute" else halo_spmm
     if log is not None:
@@ -229,25 +252,42 @@ def make_halo_inference(mesh, spec, edge_index: np.ndarray, num_nodes: int,
             f = spec.in_size if i == 0 else spec.hidden_size
             log(f"halo layer {i}: comm {part.comm_bytes_per_layer(f)}")
 
+    def conv(p, xi, agg):
+        if is_gcn:
+            return agg @ p["w"].astype(xi.dtype) + p["b"].astype(xi.dtype)
+        return (
+            agg @ p["w_neigh"].astype(xi.dtype)
+            + xi @ p["w_root"].astype(xi.dtype)
+            + p["b"].astype(xi.dtype)
+        )
+
     def infer(params, x):
         if spec.compute_dtype != "float32":
             x = x.astype(jnp.dtype(spec.compute_dtype))
         for i, p in enumerate(params["convs"]):
-            if is_gcn:
-                agg = spmm(mesh, part, x, mean=False) + x
-                x = agg @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
-            else:
-                agg = spmm(mesh, part, x, mean=True)
-                x = (
-                    agg @ p["w_neigh"].astype(x.dtype)
-                    + x @ p["w_root"].astype(x.dtype)
-                    + p["b"].astype(x.dtype)
-                )
+            agg = spmm(mesh, part, x, mean=not is_gcn)
+            x = conv(p, x, agg + x if is_gcn else agg)
             if i != spec.num_layers - 1:
                 x = jax.nn.relu(x)
         return x.astype(jnp.float32)
 
-    return part, infer
+    def infer_pair(p1, p2, x):
+        if spec.compute_dtype != "float32":
+            x = x.astype(jnp.dtype(spec.compute_dtype))
+        x1 = x2 = x
+        for i, (l1, l2) in enumerate(zip(p1["convs"], p2["convs"])):
+            f = x1.shape[-1]
+            both = jnp.concatenate([x1, x2], axis=1)
+            agg = spmm(mesh, part, both, mean=not is_gcn)
+            a1, a2 = agg[:, :f], agg[:, f:]
+            if is_gcn:
+                a1, a2 = a1 + x1, a2 + x2
+            x1, x2 = conv(l1, x1, a1), conv(l2, x2, a2)
+            if i != spec.num_layers - 1:
+                x1, x2 = jax.nn.relu(x1), jax.nn.relu(x2)
+        return x1.astype(jnp.float32), x2.astype(jnp.float32)
+
+    return part, infer, infer_pair
 
 
 def locality_order(
@@ -313,7 +353,7 @@ def halo_spmm_rr(mesh, part: HaloPartition, x: Array, mean: bool = True) -> Arra
     """
     d, per, b_max = part.n_shards, part.per, part.b_max
     assert part.pair_counts is not None, "needs pack-time pair_counts"
-    pc = part.pair_counts
+    pc = np.asarray(part.pair_counts)
     r_k = [int(max(pc[s, (s + k) % d] for s in range(d))) for k in range(d)]
 
     @functools.partial(

@@ -70,10 +70,39 @@ class BasePipeline:
             # (reference src/pipeline_s.py:62-63)
             config["batch_size"] = int(self.split_idx["train"].shape[0])
 
+        # ---- distributed execution (the reference is single-device;
+        # the TPU build trains data-parallel over every visible chip by
+        # default — SURVEY §2.4 DP disposition). `data_parallel: auto`
+        # engages whenever >1 device is visible; batches shard over the
+        # mesh `data` axis inside the SAME jitted epoch drivers, and
+        # full-graph eval runs node-sharded with halo exchange.
+        self.mesh = None
+        want_dp = config.get("data_parallel", "auto")
+        if want_dp == "auto":
+            want_dp = jax.device_count() > 1
+        if want_dp and jax.device_count() > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(
+                model_parallel=int(config.get("model_parallel", 1))
+            )
+            nd = self.mesh.shape["data"]
+            bs = int(config["batch_size"])
+            if bs % nd:
+                # per-step batches shard evenly over the data axis; pad
+                # rows are masked out of every loss/metric
+                config["batch_size"] = bs + (-bs) % nd
+
         self.output_name = run_name(config)
         self.logger = initialize_logger(config, self.output_name)
         self.metrics = MetricsWriter(config, self.output_name)
 
+        if self.mesh is not None:
+            self.logger.info(
+                f"   data-parallel over {self.mesh.shape['data']} devices "
+                f"(mesh {dict(self.mesh.shape)}), batch_size "
+                f"{config['batch_size']}"
+            )
         t0 = time.perf_counter()
         self._flip_labels()
         self.logger.info(
@@ -111,8 +140,18 @@ class BasePipeline:
     @property
     def _full_edge_index(self):
         if self._full_edge_index_cache is None:
-            self._full_edge_index_cache = jnp.asarray(self.graph.edge_index)
+            self._full_edge_index_cache = self._put(
+                jnp.asarray(self.graph.edge_index)
+            )
         return self._full_edge_index_cache
+
+    def _put(self, tree):
+        """Replicate a pytree over the mesh (no-op single-device)."""
+        if self.mesh is None:
+            return tree
+        from ..parallel.mesh import replicated
+
+        return jax.device_put(tree, replicated(self.mesh))
 
     # -------------------------------------------------------------- helpers
 
@@ -162,10 +201,54 @@ class BasePipeline:
             clean=jnp.asarray(self.clean),
             csr=g.csr(),
         )
+        if self.mesh is not None:
+            # replicate across the mesh so the DP epoch drivers (and any
+            # eager probe math) see mesh-committed inputs
+            from ..parallel.mesh import replicated
+
+            self.data = jax.device_put(self.data, replicated(self.mesh))
 
     def next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    # --------------------------------------------------- checkpoint/resume
+    # Shared by every long-running loop (CO/TE/TES/CTP/H and the CT
+    # finetune): the bundle is states + device PRNG key, and the metadata
+    # carries the HOST rng state too, so the resumed process replays the
+    # exact batch permutations — kill-and-resume reproduces the
+    # uninterrupted run's per-epoch metrics (tests/test_checkpoint.py).
+
+    def _ckpt_meta(self, run: int, epoch: int) -> dict:
+        return {"run": run, "epoch": epoch,
+                "rng_state": self.rng.bit_generator.state}
+
+    def _ckpt_setup(self, tag: str):
+        """(ckpt_every, ckpt_path) for a loop family. ckpt_path override:
+        the derived name embeds the date (reference run-name parity), so
+        cross-day resume needs a stable user path."""
+        c = self.config
+        path = c.get("ckpt_path") or (
+            f"{c['out_dir']}/models/{self.output_name}_{tag}_ckpt"
+        )
+        return int(c.get("ckpt_every", 0)), path
+
+    def _try_resume(self, ckpt_path: str, tmpl_states):
+        """Load (states, key) + positions if `resume` is set and the bundle
+        exists; restores the host RNG stream. Returns
+        (states_or_None, start_run, start_epoch, meta)."""
+        if not (self.config.get("resume")
+                and os.path.exists(ckpt_path + ".npz")):
+            return None, 0, 0, {}
+        (states, self.key), meta = load_checkpoint(
+            ckpt_path, (tmpl_states, self.key)
+        )
+        st = meta.get("rng_state")
+        if st:
+            self.rng.bit_generator.state = st
+        run, epoch = int(meta["run"]), int(meta["epoch"]) + 1
+        self.logger.info(f"   Resumed from {ckpt_path} at run {run} epoch {epoch}")
+        return self._put(states), run, epoch, meta
 
     # ----------------------------------------------------- exact-leaf mode
 
@@ -206,10 +289,16 @@ class BasePipeline:
         pad = nsteps * batch_size - n
         seeds = np.concatenate([idx, np.zeros(pad, idx.dtype)])
         mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-        return (
+        out = (
             jnp.asarray(seeds.reshape(nsteps, batch_size)),
             jnp.asarray(mask.reshape(nsteps, batch_size)),
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            out = tuple(jax.device_put(a, sh) for a in out)
+        return out
 
     def epoch_batches(self, idx: np.ndarray, batch_size: int, shuffle=True):
         """Padded seed batches covering ``idx`` once (replaces NeighborLoader
@@ -222,7 +311,7 @@ class BasePipeline:
             pad = batch_size - chunk.shape[0]
             seeds = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
             mask = np.concatenate([np.ones(chunk.shape[0], bool), np.zeros(pad, bool)])
-            yield S.Batch(jnp.asarray(seeds), jnp.asarray(mask))
+            yield self._put(S.Batch(jnp.asarray(seeds), jnp.asarray(mask)))
 
     def _split_accuracy_fn(self):
         """Device-side split accuracy: ONE tiny [3] fetch per evaluation.
@@ -233,10 +322,10 @@ class BasePipeline:
         round-trip to 12 bytes."""
         parts = list(self.split_idx)
         n = self.graph.num_nodes
-        masks = jnp.stack([
+        masks = self._put(jnp.stack([
             jnp.zeros(n, bool).at[jnp.asarray(self.split_idx[p])].set(True)
             for p in parts
-        ])
+        ]))
         sizes = [max(int(self.split_idx[p].shape[0]), 1) for p in parts]
 
         @jax.jit
@@ -286,9 +375,69 @@ class BasePipeline:
             x_agg=x_agg,
         )
 
+    def _halo_ops(self, spec):
+        """(infer, infer_pair, x_sharded) for node-sharded halo-exchange
+        full-graph eval over the mesh (parallel/halo.py). The partition pack
+        and the sharded feature matrix are per-graph, cached across
+        runs/specs."""
+        from ..parallel.halo import make_halo_inference, shard_features
+
+        part = getattr(self, "_halo_part", None)
+        new = part is None
+        part, infer, infer_pair = make_halo_inference(
+            self.mesh, spec, None if part is not None else self.graph.edge_index,
+            self.graph.num_nodes, part=part,
+            log=self.logger.info if new else None,
+        )
+        if new:
+            self._halo_part = part
+            self._halo_x = shard_features(
+                self.mesh, np.asarray(self.data.x), part
+            )
+        return infer, infer_pair, self._halo_x
+
+    def _fullgraph_on(self, spec) -> bool:
+        """`full_graph: true` trains on the EXACT every-edge aggregation,
+        node-sharded with halo exchange (parallel/fullbatch.py) — the scaling
+        upgrade past the reference's fanout-sampled `batch_size_full` mode
+        (src/pipeline_s.py:62-63 still samples neighborhoods). Needs a mesh
+        and a plain conv stack."""
+        want = bool(self.config.get("full_graph"))
+        ok = (
+            self.mesh is not None
+            and spec.module in ("sage", "gcn")
+            and not spec.use_bn
+            and spec.aggr != "max"
+        )
+        if want and not ok:
+            self.logger.info(
+                "   full_graph requested but needs a multi-device mesh and a "
+                "plain sage/gcn stack - falling back to sampled-tree training"
+            )
+        return want and ok
+
+    def _halo_eval_ok(self, spec) -> bool:
+        # batch-stat BN needs pad-row-aware statistics the halo stack does
+        # not carry; GAT is dense-attention (no SpMM). Both fall back to the
+        # replicated full-graph forward under the mesh.
+        return (
+            self.mesh is not None
+            and spec.module in self._STACK_MODULES
+            and not spec.use_bn
+            and spec.aggr != "max"
+        )
+
     def make_eval(self, spec):
         accs = self._split_accuracy_fn()
-        if spec.module in self._STACK_MODULES:
+        n = self.graph.num_nodes
+        if self._halo_eval_ok(spec):
+            infer, _, xs = self._halo_ops(spec)
+
+            def evaluate(params):
+                return accs(infer(params, xs)[:n])
+
+            return evaluate
+        if self.mesh is None and spec.module in self._STACK_MODULES:
             infer = self._make_infer(spec)
 
             def evaluate(params):
@@ -296,6 +445,8 @@ class BasePipeline:
 
             return evaluate
 
+        # replicated fallback: gat / use_bn / aggr=max under a mesh, and any
+        # non-stack module single-device
         eval_fn = S.make_eval_fn(spec)
 
         def evaluate(params):
@@ -307,9 +458,19 @@ class BasePipeline:
         """Fused dual-model evaluation: co-teaching always evaluates BOTH
         nets on the same graph, and the SpMM gather is per-index bound — one
         [N, 2H] pass serves both models for the cost of one (docs/DESIGN.md
-        gather-engine findings)."""
+        gather-engine findings). Under a mesh the same fusion rides the
+        halo-exchange sharded sweep (one boundary exchange for two nets)."""
         accs = self._split_accuracy_fn()
-        if spec.module in self._STACK_MODULES:
+        n = self.graph.num_nodes
+        if self._halo_eval_ok(spec):
+            _, infer_pair, xs = self._halo_ops(spec)
+
+            def evaluate2(p1, p2):
+                l1, l2 = infer_pair(p1, p2, xs)
+                return accs(l1[:n]), accs(l2[:n])
+
+            return evaluate2
+        if self.mesh is None and spec.module in self._STACK_MODULES:
             infer = self._make_infer(spec)
 
             def evaluate2(p1, p2):
@@ -374,9 +535,20 @@ class BasePipeline:
         comparisons)."""
         c = self.config
         spec = self.spec_for(c.get("module_compare", c["module"]))
+        fullgraph = self._fullgraph_on(spec)
+        if fullgraph:
+            from ..parallel import fullbatch as FB
+
+            _, _, fg_x = self._halo_ops(spec)
+            fg_epoch = FB.make_fullgraph_baseline_epoch(
+                self.mesh, spec, self.optimizer,
+                compare_loss=c["compare_loss"],
+            )
+            fg_seeds = self._put(jnp.asarray(self.split_idx["train"]))
+            fg_mask = self._put(jnp.ones(fg_seeds.shape[0], bool))
         epoch_fn = S.make_baseline_epoch(
             spec, self.optimizer, self.fanouts, compare_loss=c["compare_loss"],
-            exact_leaf=self.exact_leaf_on(spec),
+            exact_leaf=self.exact_leaf_on(spec), mesh=self.mesh,
         )
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
@@ -389,14 +561,21 @@ class BasePipeline:
                 # src/pipeline.py:207-208 — its baseline runs all reuse the
                 # last nalgo draw, so its comparison is unpaired.)
                 self._flip_labels(run)
-            noise_mat = jnp.asarray(self.noise_mat, jnp.float32)
-            s = S.init_state(self.next_key(), spec, self.optimizer)
+            noise_mat = self._put(jnp.asarray(self.noise_mat, jnp.float32))
+            s = self._put(S.init_state(self.next_key(), spec, self.optimizer))
             best = 0.0
             for epoch in range(int(c["max_epochs"])):
-                seeds, masks = self.epoch_seed_matrix(train_idx, bs)
-                nb = seeds.shape[0]
-                s, agg = epoch_fn(s, self.data_for(spec), seeds, masks,
-                                  self.next_key(), noise_mat)
+                if fullgraph:
+                    nb = 1
+                    s, agg = fg_epoch(
+                        s, self._halo_part, fg_x, self.data.y, self.data.yhn,
+                        fg_seeds, fg_mask, self.next_key(), noise_mat,
+                    )
+                else:
+                    seeds, masks = self.epoch_seed_matrix(train_idx, bs)
+                    nb = seeds.shape[0]
+                    s, agg = epoch_fn(s, self.data_for(spec), seeds, masks,
+                                      self.next_key(), noise_mat)
                 rec_raw = self._fetch_metrics(agg, nb)
                 acc = evaluate(s.params)
                 best = max(best, acc["test"])
@@ -452,6 +631,7 @@ class PipelineCO(BasePipeline):
         )
         tmpl_s = S.init_state(jax.random.key(0), spec, self.optimizer)
         (s1, s2, _), meta = load_checkpoint(path, (tmpl_s, tmpl_s, self.key))
+        s1, s2 = self._put(s1), self._put(s2)
         evaluate = self.make_eval(spec)
         acc1, acc2 = evaluate(s1.params), evaluate(s2.params)
         self.logger.info(
@@ -462,51 +642,65 @@ class PipelineCO(BasePipeline):
     def _loop_ct(self):
         c = self.config
         spec = self.spec_for()
+        algo = c["algo_type"] if c["algo_type"] in ("codi",) else "coteaching"
+        fullgraph = self._fullgraph_on(spec)
+        if fullgraph:
+            from ..parallel import fullbatch as FB
+
+            _, _, fg_x = self._halo_ops(spec)  # builds/caches the partition
+            fg_epoch = FB.make_fullgraph_ct_epoch(
+                self.mesh, spec, self.optimizer, algo=algo,
+                co_lambda=float(c["co_lambda"]),
+            )
+            fg_seeds = self._put(jnp.asarray(self.split_idx["train"]))
+            fg_mask = self._put(jnp.ones(fg_seeds.shape[0], bool))
         epoch_fn = S.make_ct_epoch(
             spec, self.optimizer, self.fanouts,
-            algo=c["algo_type"] if c["algo_type"] in ("codi",) else "coteaching",
+            algo=algo,
             co_lambda=float(c["co_lambda"]),
             exact_leaf=self.exact_leaf_on(spec),
+            mesh=self.mesh,
         )
         evaluate_pair = self.make_eval_pair(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
-        edges_per_batch = tree_edges_per_batch(bs, self.fanouts)
-        ckpt_every = int(c.get("ckpt_every", 0))
-        # ckpt_path override: the derived name embeds the date (reference
-        # run-name parity), so cross-day resume needs a stable user path
-        ckpt_path = c.get("ckpt_path") or (
-            f"{c['out_dir']}/models/{self.output_name}_ct_ckpt"
+        edges_per_batch = (
+            2 * spec.num_layers * self.graph.num_edges  # both nets, exact
+            if fullgraph else tree_edges_per_batch(bs, self.fanouts)
         )
+        ckpt_every, ckpt_path = self._ckpt_setup("ct")
         best_accs = []
         pure_hist = []  # [run][epoch] -> (pure_ratio_1, pure_ratio_2)
-        start_run, start_epoch = 0, 0
-        s1 = s2 = None
-        if c.get("resume") and os.path.exists(ckpt_path + ".npz"):
-            # resume: params + opt states + PRNG key + epoch/run position
-            tmpl_s = S.init_state(jax.random.key(0), spec, self.optimizer)
-            tmpl = (tmpl_s, tmpl_s, self.key)
-            (s1, s2, self.key), meta = load_checkpoint(ckpt_path, tmpl)
-            start_run, start_epoch = int(meta["run"]), int(meta["epoch"]) + 1
-            self.logger.info(
-                f"   Resumed from {ckpt_path} at run {start_run} epoch {start_epoch}"
-            )
+        tmpl_s = S.init_state(jax.random.key(0), spec, self.optimizer)
+        states, start_run, start_epoch, _ = self._try_resume(
+            ckpt_path, (tmpl_s, tmpl_s)
+        )
+        s1, s2 = states if states is not None else (None, None)
         for run in range(start_run, int(c["num_runs"])):
             if self.reflip_per_run:
                 self._flip_labels(run)  # (seed, run)-keyed: pairs the A/B
             if s1 is None:
-                s1 = S.init_state(self.next_key(), spec, self.optimizer)
-                s2 = S.init_state(self.next_key(), spec, self.optimizer)
+                s1 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
+                s2 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
             best1 = best2 = 0.0
             run_pure = []
             for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 t_train = time.perf_counter()
-                seeds, masks = self.epoch_seed_matrix(train_idx, bs)
-                nb = seeds.shape[0]
-                s1, s2, agg = epoch_fn(
-                    s1, s2, self.data_for(spec), seeds, masks, self.next_key(), fr
-                )
+                if fullgraph:
+                    nb = 1
+                    s1, s2, agg = fg_epoch(
+                        s1, s2, self._halo_part, fg_x, self.data.y,
+                        self.data.yhn, self.data.clean, fg_seeds, fg_mask,
+                        self.next_key(), fr,
+                    )
+                else:
+                    seeds, masks = self.epoch_seed_matrix(train_idx, bs)
+                    nb = seeds.shape[0]
+                    s1, s2, agg = epoch_fn(
+                        s1, s2, self.data_for(spec), seeds, masks,
+                        self.next_key(), fr,
+                    )
                 rec_raw = self._fetch_metrics(agg, nb)  # single device sync
                 t_train = time.perf_counter() - t_train
                 acc1, acc2 = evaluate_pair(s1.params, s2.params)
@@ -524,8 +718,8 @@ class PipelineCO(BasePipeline):
                     edges_per_s=nb * edges_per_batch / max(t_train, 1e-9),
                 )
                 if ckpt_every and (epoch + 1) % ckpt_every == 0:
-                    save_checkpoint(ckpt_path, (s1, s2, self.key),
-                                    {"run": run, "epoch": epoch})
+                    save_checkpoint(ckpt_path, ((s1, s2), self.key),
+                                    self._ckpt_meta(run, epoch))
                 if c["epoch_logger"] and not ((epoch + 1) % 10):
                     self.logger.info(
                         f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
@@ -589,25 +783,35 @@ class PipelineTE(BasePipeline):
             spl_noise_rate_neg=float(c["spl_noise_rate_neg"]),
         )
         epoch_plain = S.make_te_epoch(spec, self.optimizer, self.fanouts,
-                                      use_contrast=False, **common)
+                                      use_contrast=False, mesh=self.mesh,
+                                      **common)
         epoch_cont = S.make_te_epoch(spec, self.optimizer, self.fanouts,
-                                     use_contrast=True, **common)
+                                     use_contrast=True, mesh=self.mesh,
+                                     **common)
         evaluate_pair = self.make_eval_pair(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
+        ckpt_every, ckpt_path = self._ckpt_setup("te")
+        tp = (nets.init_params(jax.random.key(0), spec),) * 2
+        s, start_run, start_epoch, _ = self._try_resume(
+            ckpt_path, S.TrainState(tp, self.optimizer.init(tp))
+        )
         best_accs = []
-        for run in range(int(c["num_runs"])):
+        for run in range(start_run, int(c["num_runs"])):
             if self.reflip_per_run:
                 # (seed, run)-keyed draw: the SAME realization _loop_baseline
                 # uses for run `run`, making train_type='both' a paired A/B
                 # (reference re-flip semantics src/pipeline.py:207-208 +
                 # docs/PARITY.md deviation 7)
                 self._flip_labels(run)
-            p1 = nets.init_params(self.next_key(), spec)
-            p2 = nets.init_params(self.next_key(), spec)
-            s = S.TrainState((p1, p2), self.optimizer.init((p1, p2)))
+            if s is None:
+                p1 = nets.init_params(self.next_key(), spec)
+                p2 = nets.init_params(self.next_key(), spec)
+                s = self._put(
+                    S.TrainState((p1, p2), self.optimizer.init((p1, p2)))
+                )
             best = 0.0
-            for epoch in range(int(c["max_epochs"])):
+            for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 epoch_fn = epoch_cont if epoch > int(c["ct_tk"]) else epoch_plain
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
@@ -624,6 +828,9 @@ class PipelineTE(BasePipeline):
                     val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
                     test_acc_1=acc1["test"], test_acc_2=acc2["test"],
                 )
+                if ckpt_every and (epoch + 1) % ckpt_every == 0:
+                    save_checkpoint(ckpt_path, (s, self.key),
+                                    self._ckpt_meta(run, epoch))
                 if c["epoch_logger"] and not ((epoch + 1) % 5):
                     self.logger.info(
                         f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
@@ -632,6 +839,7 @@ class PipelineTE(BasePipeline):
                     )
             self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
             best_accs.append(best)
+            s, start_epoch = None, 0
         return self._report_runs("te", best_accs)
 
 
@@ -653,20 +861,28 @@ class PipelineCTP(BasePipeline):
     def loop(self):
         c = self.config
         spec = self.spec_for()  # sagePL
-        kw = dict(beta=1.0, spl_noise=float(c.get("spl_noise", 0.1)))
+        kw = dict(beta=1.0, spl_noise=float(c.get("spl_noise", 0.1)),
+                  mesh=self.mesh)
         epoch0 = S.make_ctp_epoch(spec, self.optimizer, self.fanouts, use_cr=False, **kw)
         epoch1 = S.make_ctp_epoch(spec, self.optimizer, self.fanouts, use_cr=True, **kw)
         evaluate_pair = self.make_eval_pair(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
+        ckpt_every, ckpt_path = self._ckpt_setup("ctp")
+        tmpl_s = S.init_state(jax.random.key(0), spec, self.optimizer)
+        states, start_run, start_epoch, _ = self._try_resume(
+            ckpt_path, (tmpl_s, tmpl_s)
+        )
+        s1, s2 = states if states is not None else (None, None)
         best_accs = []
-        for run in range(int(c["num_runs"])):
+        for run in range(start_run, int(c["num_runs"])):
             if self.reflip_per_run:
                 self._flip_labels(run)  # (seed, run)-keyed: pairs the A/B
-            s1 = S.init_state(self.next_key(), spec, self.optimizer)
-            s2 = S.init_state(self.next_key(), spec, self.optimizer)
+            if s1 is None:
+                s1 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
+                s2 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
             best = 0.0
-            for epoch in range(int(c["max_epochs"])):
+            for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 epoch_fn = epoch1 if epoch > 0 else epoch0
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
@@ -685,6 +901,9 @@ class PipelineCTP(BasePipeline):
                     val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
                     test_acc_1=acc1["test"], test_acc_2=acc2["test"],
                 )
+                if ckpt_every and (epoch + 1) % ckpt_every == 0:
+                    save_checkpoint(ckpt_path, ((s1, s2), self.key),
+                                    self._ckpt_meta(run, epoch))
                 if c["epoch_logger"] and not ((epoch + 1) % 5):
                     self.logger.info(
                         f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
@@ -693,6 +912,7 @@ class PipelineCTP(BasePipeline):
                     )
             self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
             best_accs.append(best)
+            s1, s2, start_epoch = None, None, 0
         return self._report_runs("ctp", best_accs)
 
 
@@ -707,25 +927,35 @@ class PipelineH(BasePipeline):
         spec = self.spec_for()  # sage or sageH
         pseudo_spec = self.spec_for("sage")
         epoch0 = S.make_h_epoch(spec, pseudo_spec, self.optimizer, self.fanouts,
-                                use_pseudo=False)
+                                use_pseudo=False, mesh=self.mesh)
         epoch1 = S.make_h_epoch(spec, pseudo_spec, self.optimizer, self.fanouts,
-                                use_pseudo=True,
+                                use_pseudo=True, mesh=self.mesh,
                                 rewire_rate=float(c.get("spl_rewire_rate", 0.2)))
         evaluate_pair = self.make_eval_pair(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
+        ckpt_every, ckpt_path = self._ckpt_setup("h")
+        tj = (
+            nets.init_params(jax.random.key(0), spec),
+            nets.init_params(jax.random.key(0), spec),
+            nets.init_params(jax.random.key(0), pseudo_spec),
+        )
+        s, start_run, start_epoch, _ = self._try_resume(
+            ckpt_path, S.TrainState(tj, self.optimizer.init(tj))
+        )
         best_accs = []
-        for run in range(int(c["num_runs"])):
+        for run in range(start_run, int(c["num_runs"])):
             if self.reflip_per_run:
                 self._flip_labels(run)  # (seed, run)-keyed: pairs the A/B
-            joint = (
-                nets.init_params(self.next_key(), spec),
-                nets.init_params(self.next_key(), spec),
-                nets.init_params(self.next_key(), pseudo_spec),
-            )
-            s = S.TrainState(joint, self.optimizer.init(joint))
+            if s is None:
+                joint = (
+                    nets.init_params(self.next_key(), spec),
+                    nets.init_params(self.next_key(), spec),
+                    nets.init_params(self.next_key(), pseudo_spec),
+                )
+                s = self._put(S.TrainState(joint, self.optimizer.init(joint)))
             best = 0.0
-            for epoch in range(int(c["max_epochs"])):
+            for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 epoch_fn = epoch1 if epoch > 0 else epoch0
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
@@ -742,8 +972,12 @@ class PipelineH(BasePipeline):
                     val_acc_1=acc1["valid"], test_acc_1=acc1["test"],
                     val_acc_2=acc2["valid"], test_acc_2=acc2["test"],
                 )
+                if ckpt_every and (epoch + 1) % ckpt_every == 0:
+                    save_checkpoint(ckpt_path, (s, self.key),
+                                    self._ckpt_meta(run, epoch))
             self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
             best_accs.append(best)
+            s, start_epoch = None, 0
         return self._report_runs("h", best_accs)
 
 
@@ -765,7 +999,8 @@ class PipelineCT(BasePipeline):
         # reference's NGNN — wired here per SURVEY §7.3 item 8)
         spec = self.spec_for()
         warm_epoch = S.make_ct_epoch(spec, self.optimizer, self.fanouts,
-                                     exact_leaf=self.exact_leaf_on(spec))
+                                     exact_leaf=self.exact_leaf_on(spec),
+                                     mesh=self.mesh)
         evaluate = self.make_eval(spec)
         evaluate_pair = self.make_eval_pair(spec)
         train_idx = self.split_idx["train"]
@@ -787,18 +1022,41 @@ class PipelineCT(BasePipeline):
             feat_s = feat_l = g.x
         from ..graph.containers import CSRGraph
 
-        views = {
+        views = self._put({
             "orig": (self.data.x, self.data.csr),
             "edge_s": (self.data.x, CSRGraph.from_coo(edge_s, g.num_nodes)),
             "feat_s": (jnp.asarray(feat_s), self.data.csr),
             "large": (jnp.asarray(feat_l), CSRGraph.from_coo(edge_l, g.num_nodes)),
-        }
+        })
+        self._ct_views = views
+
+        # ---- finetune-phase resume (VERDICT r2 item #8): the bundle holds
+        # the finetune state + the small-loss split ids, so a killed run
+        # re-enters phase 2 directly (views above are deterministic replays
+        # of the same seed) and reproduces the uninterrupted trajectory.
+        ckpt_every, ft_ckpt = self._ckpt_setup("ctft")
+        ft_opt = optax.adam(float(c.get("next_lr", c["learning_rate"])))
+        tmpl_p = nets.init_params(jax.random.key(0), spec)
+        resumed, _, ft_start, ft_meta = self._try_resume(
+            ft_ckpt,
+            (S.TrainState(tmpl_p, ft_opt.init(tmpl_p)),
+             np.zeros(0, np.int64), np.zeros(0, np.int64)),
+        )
+        warmup = int(c["warmup"])
+        if resumed is not None:
+            s, clean_ids, noisy_ids = resumed
+            clean_ids, noisy_ids = np.asarray(clean_ids), np.asarray(noisy_ids)
+            best_val = float(ft_meta.get("best_val", 0.0))
+            best_test = float(ft_meta.get("best_test", 0.0))
+            ft_start = max(ft_start, warmup)
+            return self._finetune(spec, evaluate, ft_opt, s, clean_ids,
+                                  noisy_ids, ft_start, best_val, best_test,
+                                  ckpt_every, ft_ckpt)
 
         # ---- phase 1: warmup with best-val checkpointing
-        s1 = S.init_state(self.next_key(), spec, self.optimizer)
-        s2 = S.init_state(self.next_key(), spec, self.optimizer)
+        s1 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
+        s2 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
         best_val, best_params = 0.0, s1.params
-        warmup = int(c["warmup"])
         for epoch in range(warmup):
             fr = jnp.float32(self.rate_schedule[epoch])
             seeds, masks = self.epoch_seed_matrix(train_idx, bs)
@@ -835,11 +1093,7 @@ class PipelineCT(BasePipeline):
             noisy_ids = np.concatenate([noisy_ids, clean_ids[extra]])
 
         # ---- phase 2: semi + contrastive finetune of model1
-        ft_opt = optax.adam(float(c.get("next_lr", c["learning_rate"])))
-        ft_epoch = S.make_contrast_train_epoch(spec, ft_opt, self.fanouts,
-                                               lam=float(c["lambda"]))
-        s = S.TrainState(best_params, ft_opt.init(best_params))
-        bs2 = min(1024, max(clean_ids.size, 1))
+        s = self._put(S.TrainState(best_params, ft_opt.init(best_params)))
         # best-epoch reporting like every other pipeline (the reference only
         # logs val acc per epoch; the repo-wide criterion is best test acc)
         start_acc = evaluate(s.params)
@@ -848,7 +1102,22 @@ class PipelineCT(BasePipeline):
             f"   finetune start (warmup best-val params): "
             f"val {start_acc['valid']:.3f} test {start_acc['test']:.3f}"
         )
-        for epoch in range(warmup, int(c["max_epochs"])):
+        return self._finetune(spec, evaluate, ft_opt, s, clean_ids, noisy_ids,
+                              warmup, best_val, best_test, ckpt_every, ft_ckpt)
+
+    def _finetune(self, spec, evaluate, ft_opt, s, clean_ids, noisy_ids,
+                  ft_start, best_val, best_test, ckpt_every, ft_ckpt):
+        """Phase-2 epoch loop, shared by the fresh path and finetune-resume."""
+        c = self.config
+        views = self._ct_views
+        ft_epoch = S.make_contrast_train_epoch(spec, ft_opt, self.fanouts,
+                                               lam=float(c["lambda"]),
+                                               mesh=self.mesh)
+        bs2 = min(1024, max(clean_ids.size, 1))
+        if self.mesh is not None:  # seed batches shard over the data axis
+            nd = self.mesh.shape["data"]
+            bs2 += (-bs2) % nd
+        for epoch in range(ft_start, int(c["max_epochs"])):
             cs, cm = self.epoch_seed_matrix(clean_ids, bs2)
             ns, nm = self.epoch_seed_matrix(noisy_ids, bs2)
             nb = min(cs.shape[0], ns.shape[0])  # zip semantics
@@ -861,6 +1130,12 @@ class PipelineCT(BasePipeline):
             best_test = max(best_test, acc["test"])
             self.metrics.write(event="finetune", epoch=epoch, **rec,
                                val_acc=acc["valid"], test_acc=acc["test"])
+            if ckpt_every and (epoch + 1) % ckpt_every == 0:
+                save_checkpoint(
+                    ft_ckpt, ((s, clean_ids, noisy_ids), self.key),
+                    {**self._ckpt_meta(0, epoch),
+                     "best_val": best_val, "best_test": best_test},
+                )
             self.logger.info(
                 f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
                 f"loss semi: {rec.get('loss_semi', 0):.3f} "
@@ -946,13 +1221,14 @@ class PipelineA(BasePipeline):
         c = self.config
         spec = self.spec_for()
         epoch_fn = S.make_ct_epoch(spec, self.optimizer, self.fanouts,
-                                   exact_leaf=self.exact_leaf_on(spec))
+                                   exact_leaf=self.exact_leaf_on(spec),
+                                   mesh=self.mesh)
         evaluate = self.make_eval(spec)
         eval_fn = S.make_eval_fn(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
-        s1 = S.init_state(self.next_key(), spec, self.optimizer)
-        s2 = S.init_state(self.next_key(), spec, self.optimizer)
+        s1 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
+        s2 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
         best_val, best_params = 0.0, s1.params
         from ..losses.coteaching import ct_loss
 

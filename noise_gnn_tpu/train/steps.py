@@ -99,6 +99,44 @@ def _seed_labels(data, batch):
     return yb, yt, cb
 
 
+def epoch_jit(
+    n_states: int,
+    mesh=None,
+    n_data_args: int = 1,
+    n_seed_args: int = 2,
+    n_tail_args: int = 2,
+):
+    """jit decorator for whole-epoch drivers with the canonical signature
+    ``(*states, data..., seed_arrays..., key/extras...)``.
+
+    With ``mesh`` (a jax.sharding.Mesh with a ``data`` axis): data-parallel
+    compilation — the per-step batch dimension of the [nsteps, B] seed/mask
+    arrays is sharded over ``data``, everything else (states, graph data,
+    PRNG key, scalars) replicated, and GSPMD inserts the per-step gradient
+    all-reduce from the replicated output sharding (SURVEY §2.4 disposition:
+    no hand-written collectives). The small-loss ranking inside ct_loss needs
+    every device to see all batch losses; GSPMD emits exactly that gather
+    because the ranks flow into replicated outputs.
+
+    Without ``mesh``: the plain single-device jit used since round 1."""
+    donate = tuple(range(n_states))
+    if mesh is None:
+        return functools.partial(jax.jit, donate_argnums=donate)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    seed = NamedSharding(mesh, P(None, "data"))
+    in_sh = (
+        (rep,) * (n_states + n_data_args)
+        + (seed,) * n_seed_args
+        + (rep,) * n_tail_args
+    )
+    out_sh = (rep,) * n_states + (rep,)
+    return functools.partial(
+        jax.jit, donate_argnums=donate, in_shardings=in_sh, out_shardings=out_sh
+    )
+
+
 def _acc_count(logits, y_true, mask):
     pred = jnp.argmax(logits, axis=-1)
     return jnp.sum((pred == y_true) & mask)
@@ -191,14 +229,15 @@ def make_ct_epoch(
     algo: str = "coteaching",
     co_lambda: float = 0.1,
     exact_leaf: bool = False,
+    mesh=None,
 ):
     """Whole-epoch co-teaching driver: lax.scan over the seed batches inside
     ONE jit. Removes per-step host dispatch entirely (measured ~3 ms/step
     through the dev tunnel; a products epoch has ~1300 steps).
 
     seeds/masks: [nsteps, B]; returns summed metrics (host divides by
-    nsteps)."""
-    return functools.partial(jax.jit, donate_argnums=(0, 1))(
+    nsteps). With ``mesh``, compiles data-parallel (see epoch_jit)."""
+    return epoch_jit(2, mesh)(
         ct_epoch_fn(spec, optimizer, fanouts, algo, co_lambda, exact_leaf)
     )
 
@@ -268,10 +307,11 @@ def make_baseline_epoch(
     fanouts: tuple[int, ...],
     compare_loss: str = "normal",
     exact_leaf: bool = False,
+    mesh=None,
 ):
     """Whole-epoch baseline driver (lax.scan; see make_ct_epoch)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @epoch_jit(1, mesh)
     def epoch(
         s: TrainState,
         data: GraphData,
@@ -284,13 +324,28 @@ def make_baseline_epoch(
             st = carry
             b_seeds, b_mask, k = inp
             kb, kd = jax.random.split(k)
-            tb, xs, la = _sample_tree(kb, data, b_seeds, b_mask, fanouts, exact_leaf)
+            if spec.module == "gat":
+                # dense masked attention wants an edge LIST, not a dense
+                # tree: run the flat seed-first subgraph view of the sampled
+                # tree through the edge-list forward (small graphs only)
+                tb = sample_khop_tree(kb, data.csr, b_seeds, fanouts, b_mask)
+                x_sub, _, _, _ = _flat_subgraph(data, tb)
+                ei, e_mask = tb.flat_edges()
+            else:
+                tb, xs, la = _sample_tree(kb, data, b_seeds, b_mask, fanouts,
+                                          exact_leaf)
             yb = jnp.take(data.yhn, b_seeds)
             yt = jnp.take(data.y, b_seeds)
 
             def loss_fn(p):
-                o = nets.apply_tree(spec, p, xs, list(tb.masks), tb.fanouts,
-                                    train=True, key=kd, leaf_agg=la)["logits"]
+                if spec.module == "gat":
+                    o = nets.apply(
+                        spec, p, x_sub, ei, num_nodes=x_sub.shape[0],
+                        edge_mask=e_mask, train=True, key=kd,
+                    )["logits"][: b_seeds.shape[0]]
+                else:
+                    o = nets.apply_tree(spec, p, xs, list(tb.masks), tb.fanouts,
+                                        train=True, key=kd, leaf_agg=la)["logits"]
                 if compare_loss == "back":
                     loss = backward_correction(o, yb, noise_mat, b_mask)
                 else:
@@ -444,6 +499,7 @@ def make_te_epoch(
     spl_rewire_rate: float = 0.1,
     spl_noise_rate_pos: float = 0.1,
     spl_noise_rate_neg: float = 0.1,
+    mesh=None,
 ):
     """Whole-epoch TE driver: lax.scan over seed batches of the sagePL
     co-teaching(+contrastive) step (see make_te_step for the math)."""
@@ -452,7 +508,7 @@ def make_te_epoch(
         spl_rewire_rate, spl_noise_rate_pos, spl_noise_rate_neg,
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @epoch_jit(1, mesh)
     def epoch(
         s: TrainState,
         data: GraphData,
@@ -629,6 +685,7 @@ def make_ctp_epoch(
     spl_noise: float = 0.1,
     use_ncr: bool = False,
     ncr_temp: float = 0.1,
+    mesh=None,
 ):
     """Whole-epoch CTP driver: lax.scan over seed batches of the
     co-teaching+consistency step (see make_ctp_step for the math)."""
@@ -636,7 +693,7 @@ def make_ctp_epoch(
         spec, fanouts, use_cr, beta, spl_noise, use_ncr, ncr_temp
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @epoch_jit(2, mesh)
     def epoch(
         s1: TrainState,
         s2: TrainState,
@@ -787,13 +844,14 @@ def make_h_epoch(
     use_pseudo: bool = False,
     beta: float = 1.0,
     rewire_rate: float = 0.2,
+    mesh=None,
 ):
     """Whole-epoch PipelineH driver: lax.scan over seed batches of the
     3-net pseudo-label co-teaching step (see make_h_step for the math)."""
     loss_of = _h_step_math(spec, pseudo_spec, fanouts, use_pseudo, beta,
                            rewire_rate)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @epoch_jit(1, mesh)
     def epoch(
         s: TrainState,
         data: GraphData,
@@ -914,12 +972,13 @@ def make_contrast_train_epoch(
     optimizer,
     fanouts: tuple[int, ...],
     lam: float = 1.0,
+    mesh=None,
 ):
     """Whole-epoch PipelineCT finetune driver: lax.scan over zipped
     (clean, noisy) seed batches (see make_contrast_train_step for the math)."""
     loss_of = _contrast_step_math(spec, fanouts, lam)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @epoch_jit(1, mesh, n_data_args=2, n_seed_args=4, n_tail_args=1)
     def epoch(
         s: TrainState,
         data: GraphData,

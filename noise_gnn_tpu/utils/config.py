@@ -50,6 +50,17 @@ DEFAULTS: dict = {
     # device
     "cuda": True,  # accepted for compat; device selection is JAX's
     "device": "tpu",
+    # distributed execution (the reference is single-device; here every
+    # visible chip trains by default). 'auto' = data-parallel whenever
+    # jax.device_count() > 1; batches shard over the mesh `data` axis and
+    # full-graph eval runs node-sharded with halo exchange (parallel/).
+    "data_parallel": "auto",  # auto | true | false
+    "model_parallel": 1,  # TP degree over the hidden dim (mesh `model` axis)
+    # Exact full-GRAPH training (CO/S loops): every-edge aggregation over
+    # node-sharded features with halo exchange, one update per epoch — the
+    # scaling upgrade past the reference's fanout-sampled batch_size_full
+    # (src/pipeline_s.py:62-63). Needs data_parallel and a sage/gcn stack.
+    "full_graph": False,
     # bools
     "do_train": True,
     "do_plot": False,

@@ -63,7 +63,7 @@ def test_pipeline_resume(tmp_path):
     from noise_gnn_tpu.train.pipelines import PipelineS
 
     cfg = dict(
-        DEFAULTS, dataset_name="cora", synthetic_scale=1, num_runs=1,
+        DEFAULTS, dataset_name="cora", synthetic_scale=16, num_runs=1,
         max_epochs=2, batch_size=64, hidden_size=16, num_layers=2,
         nbr_neighbors=[3, 2], train_type="nalgo", algo_type="coteaching",
         out_dir=str(tmp_path), ckpt_every=1, seed=5, epoch_logger=False,
@@ -81,6 +81,90 @@ def test_pipeline_resume(tmp_path):
     text = "".join(f.read_text() for f in log)
     assert "Resumed from" in text
     assert "epoch 2" in text  # max_epochs=2 ran epochs 0..1, resume at 2
+
+
+def _metric_by_epoch(out_dir, event, key):
+    import glob
+    import json
+
+    rows = []
+    for f in glob.glob(str(out_dir / "metrics" / "*.jsonl")):
+        rows += [json.loads(line) for line in open(f)]
+    return {
+        (r.get("run", 0), r["epoch"]): r[key]
+        for r in rows if r.get("event") == event
+    }
+
+
+@pytest.mark.parametrize("family,event,key,over", [
+    ("PipelineS", "epoch_ct", "test_acc_1", {}),
+    ("PipelineTES", "epoch_te", "test_acc_1",
+     dict(module="sagePL", what="_test3", ct_tk=1, spl_rewire_rate=0.02)),
+    ("PipelineCTP", "epoch_ctp", "test_acc_1",
+     dict(module="sagePL", algo_type="ctp")),
+    ("PipelineH", "epoch_h", "test_acc_1",
+     dict(module="sageH", algo_type="hpseudo")),
+])
+def test_kill_and_resume_reproduces_metrics(tmp_path, family, event, key, over):
+    """Kill-and-resume reproduction (VERDICT r2 item #8): a run interrupted
+    at epoch 2 and resumed finishes with the SAME per-epoch metrics as the
+    uninterrupted run — the bundle carries params+opt+device PRNG key AND
+    the host RNG state, so batch permutations replay exactly."""
+    import noise_gnn_tpu.train.pipelines as P
+
+    base = dict(
+        DEFAULTS, dataset_name="cora", synthetic_scale=16, num_runs=1,
+        batch_size=64, hidden_size=16, num_layers=2, nbr_neighbors=[3, 2],
+        train_type="nalgo", algo_type="coteaching", seed=11,
+        epoch_logger=False, data_parallel=False,
+    )
+    base.update(over)
+    cls = getattr(P, family)
+
+    full = dict(base, max_epochs=4, out_dir=str(tmp_path / "full"))
+    cls(copy.deepcopy(full)).loop()
+    want = _metric_by_epoch(tmp_path / "full", event, key)
+
+    ckpt = str(tmp_path / "kr" / "models" / "stable")
+    killed = dict(base, max_epochs=2, out_dir=str(tmp_path / "kr"),
+                  ckpt_every=1, ckpt_path=ckpt)
+    cls(copy.deepcopy(killed)).loop()
+    resumed = dict(killed, resume=True, max_epochs=4)
+    cls(copy.deepcopy(resumed)).loop()
+    got = _metric_by_epoch(tmp_path / "kr", event, key)
+
+    assert set(got) == set(want)
+    for pos in [(0, 2), (0, 3)]:  # post-resume epochs
+        assert got[pos] == pytest.approx(want[pos], abs=1e-7), \
+            f"epoch {pos} metric diverged after resume"
+
+
+def test_kill_and_resume_ct_finetune(tmp_path):
+    """PipelineCT: resume lands directly in the finetune phase (split ids in
+    the bundle) and reproduces the uninterrupted finetune metrics."""
+    from noise_gnn_tpu.train.pipelines import PipelineCT
+
+    base = dict(
+        DEFAULTS, dataset_name="cora", synthetic_scale=16, num_runs=1,
+        batch_size=64, hidden_size=16, num_layers=2, nbr_neighbors=[3, 2],
+        algo_type="contrastive", module="sageFC", warmup=2, seed=11,
+        prob_s=0.05, prob_l=0.1, epoch_logger=False, data_parallel=False,
+    )
+    full = dict(base, max_epochs=5, out_dir=str(tmp_path / "full"))
+    PipelineCT(copy.deepcopy(full)).loop()
+    want = _metric_by_epoch(tmp_path / "full", "finetune", "test_acc")
+
+    ckpt = str(tmp_path / "kr" / "models" / "stable_ft")
+    killed = dict(base, max_epochs=3, out_dir=str(tmp_path / "kr"),
+                  ckpt_every=1, ckpt_path=ckpt)
+    PipelineCT(copy.deepcopy(killed)).loop()
+    resumed = dict(killed, resume=True, max_epochs=5)
+    PipelineCT(copy.deepcopy(resumed)).loop()
+    got = _metric_by_epoch(tmp_path / "kr", "finetune", "test_acc")
+
+    assert set(got) == set(want)
+    for pos in [(0, 3), (0, 4)]:
+        assert got[pos] == pytest.approx(want[pos], abs=1e-7)
 
 
 def test_config_validation_errors():

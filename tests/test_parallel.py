@@ -227,13 +227,24 @@ def test_halo_inference_matches_apply(tiny):
     spec = nets.NetSpec(module="sage", in_size=g.num_features, hidden_size=16,
                         out_size=g.num_classes, num_layers=2)
     params = nets.init_params(jax.random.key(0), spec)
-    part, infer = make_halo_inference(mesh, spec, g.edge_index, g.num_nodes)
+    part, infer, infer_pair = make_halo_inference(mesh, spec, g.edge_index,
+                                                  g.num_nodes)
     xs = shard_features(mesh, g.x, part)
     got = np.asarray(infer(params, xs))[: g.num_nodes]
     want = np.asarray(
         nets.apply(spec, params, data.x, jnp.asarray(g.edge_index), train=False)["logits"]
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # fused dual-model sweep must equal two independent passes
+    params2 = nets.init_params(jax.random.key(1), spec)
+    got1, got2 = infer_pair(params, params2, xs)
+    np.testing.assert_allclose(np.asarray(got1)[: g.num_nodes], got,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got2)[: g.num_nodes],
+        np.asarray(infer(params2, xs))[: g.num_nodes],
+        rtol=1e-4, atol=1e-4,
+    )
 
 
 def test_locality_order_cuts_boundary(tiny):
