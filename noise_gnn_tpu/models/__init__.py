@@ -19,6 +19,8 @@ from .layers import (
     gcn_conv,
     linear_init,
     linear,
+    sima_init,
+    sima,
 )
 from .nets import (
     MODULES,
@@ -38,6 +40,8 @@ __all__ = [
     "gcn_conv",
     "linear_init",
     "linear",
+    "sima_init",
+    "sima",
     "MODULES",
     "NetSpec",
     "apply",

@@ -201,6 +201,38 @@ def batch_norm(params: dict, x: Array, eps: float = 1e-5) -> Array:
     return xn * params["scale"].astype(x.dtype) + params["bias"].astype(x.dtype)
 
 
+def sima_init(key: Array, nbr_nodes: int, nbr_features: int) -> dict:
+    """Learned pairwise-similarity layer (reference attention.py:5-21 SIMA;
+    dead code there — never imported by a pipeline — ported for inventory
+    completeness). Two [F, N] projections, standard-normal init."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "w_i": jax.random.normal(k1, (nbr_features, nbr_nodes), jnp.float32),
+        "w_j": jax.random.normal(k2, (nbr_features, nbr_nodes), jnp.float32),
+    }
+
+
+def sima(
+    params: dict,
+    x: Array,
+    rate: float = 0.5,
+    train: bool = False,
+    key: Array | None = None,
+) -> Array:
+    """similarity = drop(relu(x W_i)) @ drop(relu(x W_j))^T  -> [N, N].
+
+    Matches the reference forward (attention.py:13-20): both projections
+    ReLU'd and dropped out independently before the MXU-friendly outer
+    product."""
+    ai = jax.nn.relu(x @ params["w_i"].astype(x.dtype))
+    aj = jax.nn.relu(x @ params["w_j"].astype(x.dtype))
+    if train and key is not None:
+        k1, k2 = jax.random.split(key)
+        ai = dropout(k1, ai, rate, train)
+        aj = dropout(k2, aj, rate, train)
+    return ai @ aj.T
+
+
 def prelu_init() -> dict:
     return {"alpha": jnp.array(0.25, jnp.float32)}
 

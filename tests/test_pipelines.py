@@ -221,6 +221,19 @@ def test_flip_labels_run_keyed_pairing(tmp_path):
     assert (np.asarray(p2.graph.yhn) != y1).any()
 
 
+def test_cli_gat_smoke(tmp_path):
+    """`module: gat` trains through the CLI dispatch (dense masked attention
+    on the flat sampled subgraph; reference attention.py is dead code, ported
+    for completeness)."""
+    import main as climain
+
+    cfg = tiny_config(tmp_path, module="gat", module_compare="gat",
+                      algo_type="baseline", max_epochs=2, batch_size=64,
+                      hidden_size=16)
+    res = climain.main(cfg)
+    assert np.isfinite(res["baseline"][0])
+
+
 @pytest.mark.parametrize(
     "cls_name,over,expect_runs",
     [
