@@ -46,22 +46,34 @@ class DatasetProfile:
     # near the real dataset's accuracy band (keeps the noise-robust
     # algorithms' behavior qualitatively realistic)
     feature_noise: float = 3.0
+    # per-node difficulty spread (lognormal sigma; round-3 memorization
+    # upgrade — see synthetic_graph)
+    difficulty_sigma: float = 1.0
 
 
 # Real-dataset statistics; synthetic fallback reproduces these (optionally
 # scaled down via config['synthetic_scale'] > 1).
 DATASET_REGISTRY: dict[str, DatasetProfile] = {
-    # feature_noise calibrated by tools/calibrate_synthetic.py (clean-label
-    # 2-layer SAGE lands in the real dataset's accuracy band; measured
-    # 2026-08-19): cora 0.66 (band ~0.62), pubmed 0.73-0.79 (~0.77),
-    # computers 0.77-0.83 (~0.82), arxiv ~0.71, products 0.78-0.82 (~0.78).
-    # products' dense graph (deg ~25) suppresses feature noise ~5x per
-    # aggregation hop, hence its much larger value.
-    "cora": DatasetProfile(19793, 8710, 70, 126842, 0.80, "per_class_20_30", 0.45),
-    "pubmed": DatasetProfile(19717, 500, 3, 88648, 0.80, "public", 0.36),
-    "computers": DatasetProfile(13752, 767, 10, 491722, 0.78, "per_class_30_20", 0.90),
-    "ogbn-arxiv": DatasetProfile(169343, 128, 40, 1166243, 0.65, "ogb", 1.70),
-    "ogbn-products": DatasetProfile(2449029, 100, 47, 61859140, 0.81, "ogb", 33.78),
+    # feature_noise re-calibrated 2026-08-21 for the v3 generator (heavy-
+    # tailed per-node difficulty, sigma=1) by tools/calibrate_synthetic.py:
+    # clean-label 2-layer SAGE lands in the real dataset's accuracy band —
+    # measured cora 0.623 (band ~0.62), pubmed 0.767 (~0.77), computers
+    # 0.822 (~0.82), arxiv 0.73 (~0.71). The lognormal easy tail feeds a lot
+    # of signal through dense aggregation, so the medians shift vs the old
+    # homogeneous values; products' deg ~25 graph needs a much larger one.
+    "cora": DatasetProfile(19793, 8710, 70, 126842, 0.80, "per_class_20_30", 0.42),
+    "pubmed": DatasetProfile(19717, 500, 3, 88648, 0.80, "public", 0.21),
+    "computers": DatasetProfile(13752, 767, 10, 491722, 0.78, "per_class_30_20", 0.94),
+    "ogbn-arxiv": DatasetProfile(169343, 128, 40, 1166243, 0.65, "ogb", 1.89),
+    # products: the 0.78 band is UNREACHABLE on the synthetic at full scale —
+    # clean accuracy plateaus at ~0.91 for any feature_noise from 80 to 1600
+    # (measured 2026-08-21, 30-epoch CLI probes), because ~660K train nodes'
+    # unique feature vectors get memorized and label-propagate through the
+    # deg~25 homophilous graph (a pure-noise-feature probe still scores 0.72
+    # at scale 100). 90.0 puts the feature channel right at the edge of
+    # mattering (0.921 at 82): easy-tail nodes learn from features, the rest
+    # only by memorization — the regime the noise-robust algorithms target.
+    "ogbn-products": DatasetProfile(2449029, 100, 47, 61859140, 0.81, "ogb", 90.0),
 }
 
 
@@ -74,6 +86,7 @@ def synthetic_graph(
     seed: int = 0,
     feature_noise: float = 1.0,
     name: str = "synthetic",
+    difficulty_sigma: float = 1.0,
 ) -> Graph:
     """Deterministic homophilous Gaussian-mixture graph.
 
@@ -95,7 +108,23 @@ def synthetic_graph(
 
     means = (rng.random((num_classes, num_features)) < 0.5).astype(np.float32)
     means = (2 * means - 1) / np.sqrt(num_features)
-    x = means[y] + feature_noise * rng.standard_normal(
+    # Per-node difficulty heterogeneity (round 3): real datasets mix easy
+    # prototypical examples (learned in the first epochs) with hard ones
+    # (fit late, by memorization) — that spread is exactly what small-loss
+    # selection exploits (CTLoss's premise, reference losses.py:10-49). A
+    # homogeneous-noise mixture has no such spread: per-node losses are
+    # exchangeable, selection degenerates to random subsampling, and the
+    # round-2 flagship measured co-teaching LOSING to CE for precisely that
+    # reason (docs/RESULTS.md). Heavy-tailed (lognormal, median 1) per-node
+    # noise scales restore the easy/hard split: easy clean nodes separate
+    # from label-flipped ones by loss early, while hard nodes can only be
+    # fit by memorizing — so plain CE degrades late and co-teaching's
+    # selection has signal to work with.
+    diff = np.exp(
+        difficulty_sigma * rng.standard_normal(num_nodes)
+    ).astype(np.float32)
+    node_noise = (feature_noise * diff)[:, None]
+    x = means[y] + node_noise * rng.standard_normal(
         (num_nodes, num_features)
     ).astype(np.float32)
     # Keep the INPUT SCALE ~unit regardless of the difficulty knob: d' is
@@ -103,8 +132,10 @@ def synthetic_graph(
     # feature_noise) destabilize Glorot-init Adam training — probes showed a
     # non-monotone optimization cliff (acc 0.99 @ f=4.5, 0.03 @ f=5.5,
     # 0.49 @ f=6.6) that vanishes with this rescale. Real datasets ship
-    # normalized features too.
-    x /= 1.0 + feature_noise
+    # normalized features too. (Per-node: each row is rescaled by ITS noise
+    # scale, so the easy/hard spread lives in signal-to-noise ratio, not in
+    # feature magnitude.)
+    x /= 1.0 + node_noise
 
     # class buckets for homophilous destination sampling
     order = np.argsort(y, kind="stable")
@@ -179,9 +210,9 @@ def load_network(config: dict) -> Graph:
         scale = max(int(config.get("synthetic_scale", 1)), 1)
         # generation cache: products-scale synthesis costs ~100 s of host
         # time per run; the graph is deterministic in (name, seed, scale)
-        # v2: per-direction feature-noise semantics (see synthetic_graph)
+        # v3: heavy-tailed per-node difficulty (memorization dynamics)
         gen_cache = os.path.join(
-            data_dir, "synthetic", f"{name}_seed{seed}_scale{scale}_v2.npz"
+            data_dir, "synthetic", f"{name}_seed{seed}_scale{scale}_v3.npz"
         )
         if os.path.exists(gen_cache):
             g = _load_npz(gen_cache, name)
@@ -197,6 +228,7 @@ def load_network(config: dict) -> Graph:
                 homophily=prof.homophily,
                 seed=seed,
                 feature_noise=prof.feature_noise,
+                difficulty_sigma=prof.difficulty_sigma,
                 name=name,
             )
             if g.num_nodes >= 500_000:  # only worth the disk for big graphs
