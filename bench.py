@@ -140,24 +140,26 @@ def main():
             log(f"xla scatter path failed ({type(ex).__name__}: {ex}); "
                 "falling back to speed-of-light ratio")
 
-    # headline = delivered per-model aggregation rate on the production eval
-    # path (the dual-model fused sweep when it wins; the reference mechanism
-    # would run one scatter pass PER model, so rate_xla is its per-model rate
-    # for the same workload either way)
-    best = max(rate_pallas, rate_xla, rate_dual)
+    # headline = SINGLE-STREAM kernel rate, compared stream-for-stream with
+    # the baseline mechanism (round-2 judge call: the dual-model fused sweep
+    # is a real production win — eval serves two nets per gather — but it is
+    # an accounting fusion, so it rides along as its own field instead of
+    # inflating the headline)
+    single = max(rate_pallas, rate_xla)
     hbm_bw = {"tpu": 819e9, "axon": 819e9}.get(dev.platform, 50e9)  # v5e
     sol = hbm_bw / (f * dtype.itemsize)
     log(f"speed-of-light at {hbm_bw / 1e9:.0f} GB/s: {sol / 1e6:.0f} M edges/s; "
-        f"achieved {100 * best / sol:.1f}% "
-        f"(single-stream kernel {100 * max(rate_pallas, rate_xla) / sol:.1f}%)")
+        f"single-stream {100 * single / sol:.1f}% "
+        f"(dual-model fused {100 * rate_dual / sol:.1f}% in model-edges)")
     if rate_xla > 0:
-        log(f"vs baseline mechanism: {best / rate_xla:.2f}x")
+        log(f"vs baseline mechanism (stream-for-stream): {single / rate_xla:.2f}x")
 
     print(json.dumps({
         "metric": "spmm_edges_per_s_per_chip",
-        "value": best,
+        "value": single,
         "unit": "edges/s",
-        "vs_baseline": best / rate_xla if rate_xla > 0 else best / sol,
+        "vs_baseline": single / rate_xla if rate_xla > 0 else single / sol,
+        "dual_stream_model_edges_per_s": rate_dual,
     }))
 
 
