@@ -1227,12 +1227,27 @@ class PipelineA(BasePipeline):
         eval_fn = S.make_eval_fn(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
-        s1 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
-        s2 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
-        best_val, best_params = 0.0, s1.params
+        ckpt_every, ckpt_path = self._ckpt_setup("a")
+        tmpl_s = S.init_state(jax.random.key(0), spec, self.optimizer)
+        states, _, start_epoch, meta = self._try_resume(
+            ckpt_path, (tmpl_s, tmpl_s)
+        )
+        best_path = f"{c['out_dir']}/models/analysis{self.output_name}_best"
+        if states is not None:
+            s1, s2 = states
+            best_val = float(meta.get("best_val", 0.0))
+            best_params = s1.params
+            if os.path.exists(best_path + ".npz"):
+                best_params, _ = load_checkpoint(best_path, s1.params)
+                best_params = self._put(best_params)
+        else:
+            s1 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
+            s2 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
+            best_val = 0.0
+            best_params = s1.params
         from ..losses.coteaching import ct_loss
 
-        for epoch in range(int(c["max_epochs"])):
+        for epoch in range(start_epoch, int(c["max_epochs"])):
             fr = jnp.float32(self.rate_schedule[epoch])
             seeds, masks = self.epoch_seed_matrix(train_idx, bs)
             s1, s2, _ = epoch_fn(s1, s2, self.data_for(spec), seeds, masks,
@@ -1272,6 +1287,10 @@ class PipelineA(BasePipeline):
                 noisy_sel_acc=sel_stats["noisy_correct"] / max(sel_stats["noisy_total"], 1),
                 val_acc=acc["valid"], test_acc=acc["test"],
             )
+            if ckpt_every and (epoch + 1) % ckpt_every == 0:
+                save_checkpoint(ckpt_path, ((s1, s2), self.key),
+                                {**self._ckpt_meta(0, epoch),
+                                 "best_val": best_val})
         # confusion matrix of the best model (reference pipeline_analysis.py:227)
         logits = eval_fn(best_params, self.data.x, self._full_edge_index)
         pred = np.asarray(jnp.argmax(logits, -1))

@@ -104,6 +104,7 @@ def _metric_by_epoch(out_dir, event, key):
      dict(module="sagePL", algo_type="ctp")),
     ("PipelineH", "epoch_h", "test_acc_1",
      dict(module="sageH", algo_type="hpseudo")),
+    ("PipelineA", "epoch_analysis", "val_acc", dict(algo_type="analysis")),
 ])
 def test_kill_and_resume_reproduces_metrics(tmp_path, family, event, key, over):
     """Kill-and-resume reproduction (VERDICT r2 item #8): a run interrupted
