@@ -29,8 +29,12 @@ def setup():
     return g, mesh, spec, part, xs
 
 
-def test_fullgraph_forward_matches_apply(setup):
+@pytest.mark.parametrize("module", ["sage", "gcn"])
+def test_fullgraph_forward_matches_apply(setup, module):
     g, mesh, spec, part, xs = setup
+    import dataclasses
+
+    spec = dataclasses.replace(spec, module=module)
     params = nets.init_params(jax.random.key(0), spec)
     got = np.asarray(
         FB.fullgraph_forward(mesh, part, spec, params, xs)
