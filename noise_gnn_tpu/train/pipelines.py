@@ -859,6 +859,18 @@ class PipelineCTP(BasePipeline):
     schedule_variant = "ogb"
 
     def loop(self):
+        """train_type dispatch (reference src/pipeline_ctp.py:292-380 runs
+        the plain-CE train() when 'baseline'/'both'): single branch returns
+        its (mean, std); 'both' returns a dict with both (paired draws)."""
+        c = self.config
+        results = {}
+        if c["train_type"] in ("nalgo", "both"):
+            results["nalgo"] = self._loop_ctp()
+        if c["train_type"] in ("baseline", "both"):
+            results["baseline"] = self._loop_baseline()
+        return results if len(results) > 1 else next(iter(results.values()))
+
+    def _loop_ctp(self):
         c = self.config
         spec = self.spec_for()  # sagePL
         kw = dict(beta=1.0, spl_noise=float(c.get("spl_noise", 0.1)),

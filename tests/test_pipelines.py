@@ -89,6 +89,16 @@ def test_pipeline_ctp(tmp_path):
     assert np.isfinite(res[0])
 
 
+def test_pipeline_ctp_both(tmp_path):
+    """train_type 'both' runs the plain-CE baseline branch too (reference
+    src/pipeline_ctp.py:292-380) and returns a dict with paired results."""
+    cfg = tiny_config(tmp_path, module="sagePL", algo_type="ctp",
+                      train_type="both", max_epochs=2, batch_size=64)
+    res = PipelineCTP(cfg).loop()
+    assert set(res) == {"nalgo", "baseline"}
+    assert np.isfinite(res["nalgo"][0]) and np.isfinite(res["baseline"][0])
+
+
 def test_pipeline_h(tmp_path):
     cfg = tiny_config(tmp_path, module="sageH", algo_type="hpseudo",
                       train_type="nalgo", max_epochs=2, batch_size=64,

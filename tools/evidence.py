@@ -72,11 +72,15 @@ MATRIX_BIG = [
     # nonzero noise so the contrastive branch actually fires (the reference's
     # _test3 experiment runs sym 0.5, config/config_test.yml; round-1 ran
     # this at noise 0.0 and loss_cont stayed 0 — VERDICT weak item 4)
+    # train_type both: the (seed, run)-keyed pairing covers TE/TES/CTP/H
+    # since round 3, so these rows carry their own paired CE baselines
     ("computers _test3 sym 0.5 sagePL CT+contrastive", "config_test_s.yml",
-     dict(train_type="nalgo", num_runs=2, max_epochs=50, batch_id=93,
+     dict(train_type="both", num_runs=2, max_epochs=50, batch_id=93,
           noise_type="sym", noise_rate=0.5)),
     ("ogbn-arxiv CTP consistency", "config_ctp.yml",
-     dict(num_runs=3, max_epochs=30, batch_id=90)),
+     dict(train_type="both", num_runs=3, max_epochs=30, batch_id=90)),
+    # reference PipelineH.loop is nalgo-only (src/pipeline_h.py:242 has no
+    # train_type dispatch) — no baseline branch for this row
     ("ogbn-arxiv pseudo-label (H)", "config_h.yml",
      dict(num_runs=2, max_epochs=30, batch_id=90)),
     # reference-parity config (next_pair 0.45, hid 128 — a much harder
