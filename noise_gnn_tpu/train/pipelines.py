@@ -42,6 +42,16 @@ from . import steps as S
 OGB_DATASETS = ("ogbn-arxiv", "ogbn-products")
 
 
+def selection_degenerate(run_pure, clean_frac: float, tol: float = 0.005) -> bool:
+    """True when a run's small-loss selection never found signal: the best
+    per-epoch pure ratio over the LAST QUARTER of training stays within
+    ``tol`` of the clean fraction (what a uniformly random subsample would
+    score). The injected-noise oracle makes this observable online
+    (reference pure-ratio bookkeeping, src/utils/losses.py:31-32)."""
+    tail = [max(p) for p in run_pure[len(run_pure) * 3 // 4:]]
+    return bool(tail) and max(tail) < clean_frac + tol
+
+
 class BasePipeline:
     """Shared setup: data, noise, schedules, logger, batching, eval."""
 
@@ -732,6 +742,21 @@ class PipelineCO(BasePipeline):
             )
             best_accs.append(max(best1, best2))
             pure_hist.append(run_pure)
+            clean_frac = float(np.mean(self.clean))
+            if selection_degenerate(run_pure, clean_frac):
+                # measured failure mode (docs/RESULTS.md round 3): on a hard
+                # pair-noise draw with an unlucky init the mutual small-loss
+                # feedback never engages — purity pins at the clean fraction
+                # and co-teaching becomes CE on a random (1-forget_rate)
+                # subsample. Detectable online precisely because purity IS
+                # the oracle metric; a re-init or longer budget recovers it
+                # (tools/probe_hard_draw.py: same draw 0.220 -> 0.768).
+                self.logger.warning(
+                    f"   RUN {run + 1}: selection purity flat at the clean "
+                    f"fraction ({clean_frac:.3f}) - small-loss selection "
+                    f"found no signal on this noise draw/init; consider a "
+                    f"longer epoch budget or re-init (docs/RESULTS.md)"
+                )
             s1 = s2 = None
             start_epoch = 0
         # pure-ratio curve artifact (reference saves the tensor to disk,

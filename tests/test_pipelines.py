@@ -276,3 +276,17 @@ def test_loop_flips_are_run_keyed(tmp_path, cls_name, over, expect_runs):
     pipe._flip_labels = spy
     pipe.loop()
     assert calls == expect_runs
+
+
+def test_selection_degenerate_detector():
+    """Flat purity == clean fraction over the last training quarter flags
+    the measured co-teaching collapse mode (docs/RESULTS.md round 3);
+    rising purity does not."""
+    from noise_gnn_tpu.train.pipelines import selection_degenerate
+
+    flat = [(0.70, 0.701)] * 40
+    rising = [(0.70, 0.70)] * 20 + [(0.72 + 0.001 * i, 0.72)
+                                    for i in range(20)]
+    assert selection_degenerate(flat, 0.70)
+    assert not selection_degenerate(rising, 0.70)
+    assert not selection_degenerate([], 0.70)
