@@ -49,20 +49,25 @@ GATHER_PAD = 512
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_nodes", "feat", "mean", "interpret", "out_dtype"),
+    static_argnames=("num_nodes", "ring_blocks", "feat", "mean", "interpret",
+                     "out_dtype"),
+    donate_argnames=("out_prev",),
 )
 def _spmm_call(
     x: Array,
     src_blk: Array,
     dst_blk: Array,
     deginv: Array,
+    base: Array,
     blk: Array,
     ch: Array,
     first: Array,
     last: Array,
     act: Array,
+    out_prev: Array,
     *,
     num_nodes: int,
+    ring_blocks: int,
     feat: int,
     mean: bool,
     interpret: bool = False,
@@ -72,9 +77,9 @@ def _spmm_call(
     # gathered but never matched by the -1 padding dst)
     msgs = jnp.take(x, src_blk, axis=0)
     return _spmm_call_pregathered(
-        msgs, dst_blk, deginv, blk, ch, first, last, act,
-        num_nodes=num_nodes, feat=feat, mean=mean, interpret=interpret,
-        out_dtype=out_dtype,
+        msgs, dst_blk, deginv, base, blk, ch, first, last, act, out_prev,
+        num_nodes=num_nodes, ring_blocks=ring_blocks, feat=feat, mean=mean,
+        interpret=interpret, out_dtype=out_dtype,
     )
 
 
@@ -141,7 +146,10 @@ def _pad_chunk_maps(maps, c_pad: int, g_nblocks: int):
 
 def _reduce_kernel_chunked(
     # scalar prefetch
-    blk_ref,  # [C] int32 output block per chunk
+    base_ref,  # [1] int32 this group's first GLOBAL block: flushes land at
+    #          (base + blk) * R in the shared output, so all super-groups
+    #          write one buffer and the per-group output concat disappears
+    blk_ref,  # [C] int32 output block per chunk (GROUP-LOCAL)
     ch_ref,  # [C] int32 edge-chunk index per chunk (used by index maps)
     first_ref,  # [C] int32 1 on a block's first chunk
     last_ref,  # [C] int32 1 on a block's last chunk
@@ -150,6 +158,7 @@ def _reduce_kernel_chunked(
     msgs_ref,  # [G, F] gathered messages of this chunk
     dst_ref,  # [G] int32 dst of this chunk (-1 padding)
     deginv_ref,  # [R, 1] f32 1/max(in-degree, 1) of this chunk's block
+    out_in_ref,  # [n_pad, F] aliased to out_hbm (prior groups' rows)
     # output (HBM; written by explicit flush DMAs)
     out_hbm,  # [n_pad, F] f32 or bf16
     # scratch: block accumulators ring (parity of the block index), so the
@@ -164,9 +173,11 @@ def _reduce_kernel_chunked(
     mean: bool,
     nblocks: int,
 ):
+    del out_in_ref  # same buffer as out_hbm (input_output_aliases)
     c = pl.program_id(0)
     ctot = pl.num_programs(0)
     b = blk_ref[c]
+    base = base_ref[0]
     r = acc_a.shape[0]
     g = dst_ref.shape[0]
     dst_local = dst_ref[:].reshape(1, g) - b * r
@@ -193,7 +204,7 @@ def _reduce_kernel_chunked(
     def flush(acc, cast, sem, blk_i):
         src = cast if cast_out else acc
         return pltpu.make_async_copy(
-            src, out_hbm.at[pl.ds(blk_i * r, r), :], sem
+            src, out_hbm.at[pl.ds((base + blk_i) * r, r), :], sem
         )
 
     for par, (acc, cast, sem) in enumerate(
@@ -237,19 +248,24 @@ def _reduce_kernel_chunked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_nodes", "feat", "mean", "interpret", "out_dtype"),
+    static_argnames=("num_nodes", "ring_blocks", "feat", "mean", "interpret",
+                     "out_dtype"),
+    donate_argnames=("out_prev",),
 )
 def _spmm_call_pregathered(
     msgs: Array,
     dst_blk: Array,
     deginv: Array,
+    base: Array,
     blk: Array,
     ch: Array,
     first: Array,
     last: Array,
     act: Array,
+    out_prev: Array,
     *,
     num_nodes: int,
+    ring_blocks: int,
     feat: int,
     mean: bool,
     interpret: bool = False,
@@ -263,23 +279,35 @@ def _spmm_call_pregathered(
     the HBM output with explicit DMAs that overlap the next block's work —
     a BlockSpec-revisited output would round-trip the 256 KB block through
     HBM on every chunk. Replaces a manual-DMA fori_loop kernel that was
-    ~10x off this schedule (15.4 us vs ~1.5 us per chunk on v5e)."""
+    ~10x off this schedule (15.4 us vs ~1.5 us per chunk on v5e).
+
+    ``out_prev`` is ALIASED to the output: every super-group's flush DMAs
+    write its global rows (``(base + blk) * ROW_BLOCK``) of one shared
+    [n_pad, F] buffer, replacing the per-group outputs + final concat
+    (measured ~25 ms of pure copy at products scale — 16x off the copy
+    roofline — now zero). A group's shape-padding blocks flush zeros into
+    the NEXT group's range; group calls are chained through the aliased
+    buffer, so the later group's real rows land on top."""
     n_pad = num_nodes
-    nblocks = n_pad // ROW_BLOCK
     out_dtype = jnp.dtype(out_dtype)
+    assert out_prev.shape == (n_pad, feat) and out_prev.dtype == out_dtype
     # flush staging only needed when casting; keep a minimal buffer otherwise
     cast_shape = (ROW_BLOCK, feat) if out_dtype != jnp.float32 else (8, LANES)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(blk.shape[0],),
         in_specs=[
             pl.BlockSpec(
-                (EDGE_CHUNK, feat), lambda c, blk, ch, fi, la, ac: (ch[c], 0)
+                (EDGE_CHUNK, feat),
+                lambda c, ba, blk, ch, fi, la, ac: (ch[c], 0),
             ),
-            pl.BlockSpec((EDGE_CHUNK,), lambda c, blk, ch, fi, la, ac: (ch[c],)),
             pl.BlockSpec(
-                (ROW_BLOCK, 1), lambda c, blk, ch, fi, la, ac: (blk[c], 0)
+                (EDGE_CHUNK,), lambda c, ba, blk, ch, fi, la, ac: (ch[c],)
             ),
+            pl.BlockSpec(
+                (ROW_BLOCK, 1), lambda c, ba, blk, ch, fi, la, ac: (blk[c], 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # aliased shared output
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -292,12 +320,16 @@ def _spmm_call_pregathered(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_reduce_kernel_chunked, mean=mean, nblocks=nblocks),
+        functools.partial(
+            _reduce_kernel_chunked, mean=mean, nblocks=ring_blocks
+        ),
         out_shape=jax.ShapeDtypeStruct((n_pad, feat), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(blk, ch, first, last, act, msgs, dst_blk, deginv)
+        # operand order: 6 scalar-prefetch + msgs, dst, deginv, out_prev(=9)
+        input_output_aliases={9: 0},
+    )(base, blk, ch, first, last, act, msgs, dst_blk, deginv, out_prev)
     return out
 
 
@@ -394,58 +426,62 @@ class PallasSpmm:
             take = deginv[b0 * ROW_BLOCK : (b0 + self._g_nblocks) * ROW_BLOCK]
             dg[: take.shape[0]] = take
             maps = _chunk_maps(bases, counts, self._g_edges, self._g_nblocks)
-            raw.append((src_g, dst_g, dg[:, None], maps))
+            raw.append((src_g, dst_g, dg[:, None], b0, maps))
 
+        # shared-output extent: every group flushes its g_nblocks blocks
+        # (shape padding included) at global offsets, so the buffer must
+        # reach past the LAST group's padding blocks
+        self._n_pad = (self._groups[-1][0] + self._g_nblocks) * ROW_BLOCK
         # +1 guarantees a trailing inactive chunk = the kernel's DMA drain
-        c_pad = max(m[3][0].shape[0] for m in raw) + 1
+        c_pad = max(m[4][0].shape[0] for m in raw) + 1
         self._parts = [
             (
                 jnp.asarray(src_g),
                 jnp.asarray(dst_g),
                 jnp.asarray(dg),
+                jnp.asarray([b0], jnp.int32),
                 tuple(jnp.asarray(a) for a in
                       _pad_chunk_maps(maps, c_pad, self._g_nblocks)),
             )
-            for src_g, dst_g, dg, maps in raw
+            for src_g, dst_g, dg, b0, maps in raw
         ]
 
     def __call__(self, x: Array, mean: bool = True, interpret: bool = False,
                  out_dtype=jnp.float32) -> Array:
         n, f = x.shape
         assert n == self.num_nodes and f % LANES == 0
-        outs = []
-        for (b0, b1, _, _), (src_g, dst_g, dgi, maps) in zip(
-            self._groups, self._parts
-        ):
-            rows = min(b1 * ROW_BLOCK, self.num_nodes) - b0 * ROW_BLOCK
+        out = jnp.zeros((self._n_pad, f), jnp.dtype(out_dtype))
+        for src_g, dst_g, dgi, base, maps in self._parts:
+            # out is DONATED through each jitted group call: all groups'
+            # flush DMAs write one shared buffer, no per-group concat
             out = _spmm_call(
-                x, src_g, dst_g, dgi, *maps,
-                num_nodes=self._g_nblocks * ROW_BLOCK, feat=f, mean=mean,
-                interpret=interpret, out_dtype=out_dtype,
+                x, src_g, dst_g, dgi, base, *maps, out,
+                num_nodes=self._n_pad, ring_blocks=self._g_nblocks, feat=f,
+                mean=mean, interpret=interpret, out_dtype=out_dtype,
             )
-            outs.append(out[:rows])
-        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return out[: self.num_nodes]
 
     def _traced(self, x: Array, parts, mean: bool, interpret: bool,
                 out_dtype=jnp.float32) -> Array:
-        """All super-groups inside one trace: gathers, reduce kernels, and
-        the output concat compile into ONE executable — no per-group host
-        dispatch (measured ~3 ms/launch through a dev tunnel) and no
-        intermediate device round-trips. ``out_dtype=bfloat16`` casts at the
-        flush DMA (accumulation stays f32), halving flush + concat traffic
-        for consumers that run in bf16 anyway (eval/inference.py)."""
+        """All super-groups inside one trace: gathers and reduce kernels
+        compile into ONE executable — no per-group host dispatch (measured
+        ~3 ms/launch through a dev tunnel) and no intermediate device
+        round-trips. Group calls chain through one input_output_aliased
+        output buffer (each kernel flushes its global rows), so the former
+        per-group outputs + concat (~25 ms of pure copy at products scale)
+        are gone. ``out_dtype=bfloat16`` casts at the flush DMA
+        (accumulation stays f32), halving flush traffic for consumers that
+        run in bf16 anyway (eval/inference.py)."""
         f = x.shape[-1]
-        outs = []
-        for (b0, b1, _, _), (src_g, dst_g, dgi, maps) in zip(self._groups, parts):
-            rows = min(b1 * ROW_BLOCK, self.num_nodes) - b0 * ROW_BLOCK
+        out = jnp.zeros((self._n_pad, f), jnp.dtype(out_dtype))
+        for src_g, dst_g, dgi, base, maps in parts:
             msgs = jnp.take(x, src_g, axis=0)
             out = _spmm_call_pregathered(
-                msgs, dst_g, dgi, *maps,
-                num_nodes=self._g_nblocks * ROW_BLOCK, feat=f, mean=mean,
-                interpret=interpret, out_dtype=out_dtype,
+                msgs, dst_g, dgi, base, *maps, out,
+                num_nodes=self._n_pad, ring_blocks=self._g_nblocks, feat=f,
+                mean=mean, interpret=interpret, out_dtype=out_dtype,
             )
-            outs.append(out[:rows])
-        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return out[: self.num_nodes]
 
     def apply(self, x: Array, mean: bool = True, interpret: bool = False,
               out_dtype=jnp.float32) -> Array:
@@ -520,15 +556,16 @@ class PallasSpmmDevice:
             idx = jnp.arange(self._g_edges)
             dst_g = jnp.where(idx < e_len, dst_g - b0 * ROW_BLOCK, -1)
             maps = _chunk_maps(g_bases, g_counts, self._g_edges, self._g_nblocks)
-            raw.append((src_g, dst_g, dg[:, None], maps))
+            raw.append((src_g, dst_g, dg[:, None], b0, maps))
 
+        self._n_pad = (self._groups[-1][0] + self._g_nblocks) * ROW_BLOCK
         # +1 guarantees a trailing inactive chunk = the kernel's DMA drain
-        c_pad = max(m[3][0].shape[0] for m in raw) + 1
+        c_pad = max(m[4][0].shape[0] for m in raw) + 1
         self._parts = [
-            (src_g, dst_g, jnp.asarray(dg),
+            (src_g, dst_g, jnp.asarray(dg), jnp.asarray([b0], jnp.int32),
              tuple(jnp.asarray(a) for a in
                    _pad_chunk_maps(maps, c_pad, self._g_nblocks)))
-            for src_g, dst_g, dg, maps in raw
+            for src_g, dst_g, dg, b0, maps in raw
         ]
 
     __call__ = PallasSpmm.__call__

@@ -686,15 +686,23 @@ class PipelineCO(BasePipeline):
             ckpt_path, (tmpl_s, tmpl_s)
         )
         s1, s2 = states if states is not None else (None, None)
+        retries = int(c.get("reinit_retries", 0))
         for run in range(start_run, int(c["num_runs"])):
             if self.reflip_per_run:
                 self._flip_labels(run)  # (seed, run)-keyed: pairs the A/B
-            if s1 is None:
+            # retry shell: when the run ends selection-degenerate and
+            # reinit_retries allows, re-enter the epoch loop with freshly
+            # initialized nets; the noise realization stays FIXED, so the
+            # paired A/B comparison is untouched (probe_hard_draw.py: the
+            # run-1 flagship draw recovers 0.220 -> 0.768 on re-init)
+            attempt = 0
+            while True:
+              if s1 is None:
                 s1 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
                 s2 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
-            best1 = best2 = 0.0
-            run_pure = []
-            for epoch in range(start_epoch, int(c["max_epochs"])):
+              best1 = best2 = 0.0
+              run_pure = []
+              for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 t_train = time.perf_counter()
                 if fullgraph:
@@ -737,28 +745,40 @@ class PipelineCO(BasePipeline):
                         f"v1: {acc1['valid']:.3f} v2: {acc2['valid']:.3f} "
                         f"tst1: {acc1['test']:.3f} tst2: {acc2['test']:.3f}"
                     )
-            self.logger.info(
+              self.logger.info(
                 f"   RUN {run + 1} - best nalgo test acc1: {best1:.3f}   acc2: {best2:.3f}"
-            )
-            best_accs.append(max(best1, best2))
-            pure_hist.append(run_pure)
-            clean_frac = float(np.mean(self.clean))
-            if selection_degenerate(run_pure, clean_frac):
+              )
+              clean_frac = float(np.mean(self.clean))
+              degen = selection_degenerate(run_pure, clean_frac)
+              s1 = s2 = None
+              start_epoch = 0
+              if degen and attempt < retries:
                 # measured failure mode (docs/RESULTS.md round 3): on a hard
                 # pair-noise draw with an unlucky init the mutual small-loss
                 # feedback never engages — purity pins at the clean fraction
                 # and co-teaching becomes CE on a random (1-forget_rate)
                 # subsample. Detectable online precisely because purity IS
-                # the oracle metric; a re-init or longer budget recovers it
-                # (tools/probe_hard_draw.py: same draw 0.220 -> 0.768).
+                # the oracle metric; re-init recovers it.
+                attempt += 1
+                self.logger.warning(
+                    f"   RUN {run + 1}: selection purity flat at the clean "
+                    f"fraction ({clean_frac:.3f}) - re-initializing and "
+                    f"retraining (attempt {attempt}/{retries})"
+                )
+                self.metrics.write(event="reinit_degenerate", run=run,
+                                   attempt=attempt)
+                continue
+              if degen:
                 self.logger.warning(
                     f"   RUN {run + 1}: selection purity flat at the clean "
                     f"fraction ({clean_frac:.3f}) - small-loss selection "
                     f"found no signal on this noise draw/init; consider a "
-                    f"longer epoch budget or re-init (docs/RESULTS.md)"
+                    f"longer epoch budget or reinit_retries > 0 "
+                    f"(docs/RESULTS.md)"
                 )
-            s1 = s2 = None
-            start_epoch = 0
+              break
+            best_accs.append(max(best1, best2))
+            pure_hist.append(run_pure)
         # pure-ratio curve artifact (reference saves the tensor to disk,
         # src/pipeline.py:273-275)
         try:

@@ -38,6 +38,13 @@ DEFAULTS: dict = {
     "weight_decay": 0.0,
     "num_runs": 1,
     "max_epochs": 50,
+    # Co-teaching at scale is bistable (docs/RESULTS.md flagship, round 3):
+    # on a hard noise draw with an unlucky init the mutual small-loss
+    # feedback never engages and purity pins at the clean fraction. The CO
+    # loop detects this online (selection_degenerate) and, with retries > 0,
+    # re-initializes both nets (fresh keys, SAME noise realization — the
+    # paired A/B stays paired) and re-trains the run, up to this many times.
+    "reinit_retries": 0,
     "batch_size": 512,
     "batch_size_full": False,
     "next_lr": 1e-3,

@@ -290,3 +290,42 @@ def test_selection_degenerate_detector():
     assert selection_degenerate(flat, 0.70)
     assert not selection_degenerate(rising, 0.70)
     assert not selection_degenerate([], 0.70)
+
+
+def test_reinit_on_degenerate_retries_once(tmp_path, monkeypatch):
+    """With reinit_retries > 0 the CO loop re-initializes and retrains a
+    run whose selection ended degenerate — same noise realization, fresh
+    init keys — and records the retry in the metrics stream."""
+    import json
+
+    import noise_gnn_tpu.train.pipelines as P
+
+    calls = []
+
+    def fake_degenerate(run_pure, clean_frac, tol=0.005):
+        calls.append(len(run_pure))
+        return len(calls) == 1  # first attempt degenerate, retry clean
+
+    monkeypatch.setattr(P, "selection_degenerate", fake_degenerate)
+    cfg = tiny_config(tmp_path, train_type="nalgo", reinit_retries=1)
+    pipe = P.PipelineCO(cfg)
+    flips = []
+    orig = pipe._flip_labels
+
+    def spy(run=None):
+        flips.append(run)
+        return orig(run)
+
+    pipe._flip_labels = spy
+    res = pipe.loop()
+    assert len(calls) == 2  # one retry, second attempt accepted
+    assert flips == [0]  # noise NOT redrawn on retry: the A/B stays paired
+    mean, _ = res if isinstance(res, tuple) else res["nalgo"]
+    assert mean > 1.0 / cfg["nbr_classes"]
+    files = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path)
+             for f in fs if f.endswith(".jsonl")]
+    lines = [json.loads(l) for f in files for l in open(f)]
+    assert any(r.get("event") == "reinit_degenerate" for r in lines)
+    # both attempts' epochs are in the stream
+    n_epochs = sum(r.get("event") == "epoch_ct" for r in lines)
+    assert n_epochs == 2 * cfg["max_epochs"]

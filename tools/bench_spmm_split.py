@@ -82,7 +82,7 @@ def main():
     # gather-only: same jnp.take calls as _traced, reduce replaced by a sum
     def gathers(x, parts):
         s = jnp.float32(0)
-        for src_g, _, _, _ in parts:
+        for src_g, *_ in parts:
             s += jnp.take(x, src_g, axis=0).sum(dtype=jnp.float32)
         return s
 
@@ -93,19 +93,21 @@ def main():
 
     # reduce-only: ONE group's pre-gathered messages (all groups would be
     # groups x g_edges x F bytes — past HBM at products scale)
-    src_g, dst_g, dgi, maps = op._parts[0]
+    src_g, dst_g, dgi, base, maps = op._parts[0]
     msgs0 = jnp.take(x, src_g, axis=0)
     float(msgs0.sum())  # force (tunnel-safe)
 
-    def reduce1(m, dst_g, dgi, maps):
+    def reduce1(m, dst_g, dgi, base, maps):
+        npad = op._g_nblocks * ps.ROW_BLOCK
         out = ps._spmm_call_pregathered(
-            m, dst_g, dgi, *maps,
-            num_nodes=op._g_nblocks * ps.ROW_BLOCK, feat=f, mean=True,
+            m, dst_g, dgi, jnp.zeros_like(base), *maps,
+            jnp.zeros((npad, f), jnp.float32),
+            num_nodes=npad, ring_blocks=op._g_nblocks, feat=f, mean=True,
         )
         return out.sum(dtype=jnp.float32)
 
     r = jax.jit(reduce1)
-    t_r = fetch_time(lambda: r(msgs0, dst_g, dgi, maps), args.iters)
+    t_r = fetch_time(lambda: r(msgs0, dst_g, dgi, base, maps), args.iters)
     nchunks = maps[0].shape[0]
     e1 = op._groups[0][3]
     log(f"reduce only (group 0): {t_r * 1e3:8.1f} ms  -> "

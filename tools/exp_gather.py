@@ -95,12 +95,15 @@ def main():
     np.cumsum(dst_counts, out=indptr[1:])
     src = rng.integers(0, n, e).astype(np.int32)
     op = PallasSpmm(indptr, src, n)
-    (src_g, dst_g, dgi, maps) = op._parts[0]
+    (src_g, dst_g, dgi, base, maps) = op._parts[0]
     msgs = jax.random.normal(key, (src_g.shape[0], f), dt)
     red = jax.jit(lambda m: __import__(
         "noise_gnn_tpu.ops.pallas_spmm", fromlist=["x"]
     )._spmm_call_pregathered(
-        m, dst_g, dgi, *maps, num_nodes=op._g_nblocks * 256, feat=f, mean=True
+        m, dst_g, dgi, base * 0, *maps,
+        jnp.zeros((op._g_nblocks * 256, f), jnp.float32),
+        num_nodes=op._g_nblocks * 256, ring_blocks=op._g_nblocks, feat=f,
+        mean=True,
     ).sum())
     t = fetch_time(lambda: red(msgs))
     print(f"pallas reduce alone  : {t*1e3:8.1f} ms  {e/t/1e6:7.1f} M edges/s "

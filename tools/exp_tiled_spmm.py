@@ -186,8 +186,11 @@ def main():
             take = dgf[b0 * ROW_BLOCK : (b0 + nb_max) * ROW_BLOCK]
             dg[: take.shape[0]] = take
             out = _spmm_call_pregathered(
-                msgs, dst_g, jnp.asarray(dg[:, None]), *maps,
-                num_nodes=nb_max * ROW_BLOCK, feat=f, mean=True)
+                msgs, dst_g, jnp.asarray(dg[:, None]),
+                jnp.zeros(1, jnp.int32), *maps,
+                jnp.zeros((nb_max * ROW_BLOCK, f), jnp.float32),
+                num_nodes=nb_max * ROW_BLOCK, ring_blocks=nb_max, feat=f,
+                mean=True)
             rows = min(b1 * ROW_BLOCK, n) - b0 * ROW_BLOCK
             outs.append(out[:rows])
         return jnp.concatenate(outs, axis=0)
