@@ -72,8 +72,10 @@ def precompute_leaf_agg(
         f = x.shape[-1]
         f_pad = -(-f // 128) * 128
         xp = jnp.pad(x, ((0, 0), (0, f_pad - f))) if f_pad != f else x
-        out = spmm(xp, mean=(aggr == "mean"))[:, :f]
-        return out.astype(x.dtype)
+        # cast at the kernel's flush DMA (accumulation stays f32): same
+        # values as materialize-f32-then-astype, half the flush traffic
+        out = spmm(xp, mean=(aggr == "mean"), out_dtype=x.dtype)[:, :f]
+        return out
 
     # XLA path: derive the COO dst on device from the resident CSR
     k = jnp.arange(max(n_edges, 1), dtype=jnp.int32)
