@@ -333,6 +333,22 @@ def _spmm_call_pregathered(
     return out
 
 
+def _check_group_order(groups):
+    """Shared-output correctness is ORDER-DEPENDENT: a group's shape-padding
+    blocks flush zeros into the NEXT group's real rows, and the chained
+    aliased-buffer calls rely on the later group's flushes landing on top.
+    Enforce the invariant (strictly increasing first-block bases) instead of
+    only documenting it, so a refactor that reorders the parts fails loudly
+    rather than corrupting output."""
+    bases = [b0 for b0, _, _, _ in groups]
+    if any(a >= b for a, b in zip(bases, bases[1:])):
+        raise AssertionError(
+            f"SpMM super-groups must be in strictly increasing block order "
+            f"(got first-block sequence {bases}); the aliased shared output "
+            f"depends on sequential chaining"
+        )
+
+
 def _make_groups(alloc: np.ndarray, bases: np.ndarray, budget: int):
     """Split row blocks into super-groups of ~equal edge storage.
 
@@ -392,6 +408,7 @@ class PallasSpmm:
 
         self._budget = int(edge_budget)
         self._groups = _make_groups(blk_count, blk_start, self._budget)
+        _check_group_order(self._groups)
         # pad all groups to the same (nblocks, edges) so one executable serves
         self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
         self._g_edges = max(
@@ -524,6 +541,7 @@ class PallasSpmmDevice:
         src_all = indices_dev.astype(jnp.int32)
 
         self._groups = _make_groups(blk_count, blk_start, int(edge_budget))
+        _check_group_order(self._groups)
         self._g_nblocks = max(b1 - b0 for b0, b1, _, _ in self._groups)
         self._g_edges = max(
             -(-max(e for _, _, _, e in self._groups) // EDGE_CHUNK), 1

@@ -52,6 +52,20 @@ def selection_degenerate(run_pure, clean_frac: float, tol: float = 0.005) -> boo
     return bool(tail) and max(tail) < clean_frac + tol
 
 
+class RunSummary(tuple):
+    """(mean, std) of per-run BEST test accuracy — tuple-compatible with
+    every existing consumer (``mean, std = pipe.loop()``) — carrying the
+    final-accuracy evidence alongside: per-run bests, per-run FINAL-epoch
+    accuracy and last-10-epoch means (the reference's criterion is best-epoch
+    only, src/pipeline.py:267-271; both are reported here so best-vs-final
+    claims are auditable)."""
+
+    def __new__(cls, mean: float, std: float, extra: dict | None = None):
+        self = super().__new__(cls, (mean, std))
+        self.extra = extra or {}
+        return self
+
+
 class BasePipeline:
     """Shared setup: data, noise, schedules, logger, batching, eval."""
 
@@ -103,7 +117,19 @@ class BasePipeline:
                 # rows are masked out of every loss/metric
                 config["batch_size"] = bs + (-bs) % nd
 
+        if int(config.get("model_parallel", 1)) > 1 and self.mesh is None:
+            # never a silent no-op: TP needs a multi-device mesh (and rides
+            # the same `data_parallel` engagement switch)
+            raise ValueError(
+                f"model_parallel={config['model_parallel']} requested but no "
+                f"multi-device mesh is available (devices visible: "
+                f"{jax.device_count()}, data_parallel={config.get('data_parallel')!r})"
+            )
+
         self.output_name = run_name(config)
+        # runtime-injected (like nbr_features etc): lets callers that hold
+        # the config dict locate this run's metrics/pure artifacts
+        config["_output_name"] = self.output_name
         self.logger = initialize_logger(config, self.output_name)
         self.metrics = MetricsWriter(config, self.output_name)
 
@@ -162,6 +188,35 @@ class BasePipeline:
         from ..parallel.mesh import replicated
 
         return jax.device_put(tree, replicated(self.mesh))
+
+    @property
+    def _tp(self) -> int:
+        return self.mesh.shape["model"] if self.mesh is not None else 1
+
+    def _put_state(self, state):
+        """Place a train state (or tuple of them) on the mesh: with
+        ``model_parallel > 1`` weight-matrix hidden columns (and their
+        mirrored Adam moments) shard over the ``model`` axis per
+        parallel.mesh.param_sharding; otherwise replicate. This is the
+        product-path TP wiring — the config key applies to every pipeline
+        state, not just __graft_entry__."""
+        if self.mesh is None:
+            return state
+        if self._tp > 1:
+            from ..parallel.mesh import param_sharding
+
+            return jax.device_put(state, param_sharding(self.mesh, state))
+        return self._put(state)
+
+    def _replicate_params(self, params):
+        """Eval-side gather of TP-sharded params: the halo/full-graph eval
+        paths expect replicated weights (their shard_maps partition nodes,
+        not the hidden dim); an all-gather of these small models is cheap."""
+        if self._tp > 1:
+            from ..parallel.mesh import replicated
+
+            return jax.device_put(params, replicated(self.mesh))
+        return params
 
     # -------------------------------------------------------------- helpers
 
@@ -229,8 +284,11 @@ class BasePipeline:
     # exact batch permutations — kill-and-resume reproduces the
     # uninterrupted run's per-epoch metrics (tests/test_checkpoint.py).
 
-    def _ckpt_meta(self, run: int, epoch: int) -> dict:
-        return {"run": run, "epoch": epoch,
+    def _ckpt_meta(self, run: int, epoch: int, attempt: int = 0) -> dict:
+        # `attempt` = reinit-retry counter: a checkpoint saved mid-attempt
+        # must restore it, or a crash during a retry would re-enter with
+        # attempt=0 and allow more re-inits than reinit_retries
+        return {"run": run, "epoch": epoch, "attempt": attempt,
                 "rng_state": self.rng.bit_generator.state}
 
     def _ckpt_setup(self, tag: str):
@@ -258,7 +316,7 @@ class BasePipeline:
             self.rng.bit_generator.state = st
         run, epoch = int(meta["run"]), int(meta["epoch"]) + 1
         self.logger.info(f"   Resumed from {ckpt_path} at run {run} epoch {epoch}")
-        return self._put(states), run, epoch, meta
+        return self._put_state(states), run, epoch, meta
 
     # ----------------------------------------------------- exact-leaf mode
 
@@ -415,14 +473,17 @@ class BasePipeline:
         want = bool(self.config.get("full_graph"))
         ok = (
             self.mesh is not None
+            and self._tp == 1  # fullbatch shard_map partitions nodes over
+            # `data` with replicated params; TP-sharded states don't compose
             and spec.module in ("sage", "gcn")
             and not spec.use_bn
             and spec.aggr != "max"
         )
         if want and not ok:
             self.logger.info(
-                "   full_graph requested but needs a multi-device mesh and a "
-                "plain sage/gcn stack - falling back to sampled-tree training"
+                "   full_graph requested but needs a multi-device mesh "
+                "(model_parallel=1) and a plain sage/gcn stack - falling "
+                "back to sampled-tree training"
             )
         return want and ok
 
@@ -440,11 +501,12 @@ class BasePipeline:
     def make_eval(self, spec):
         accs = self._split_accuracy_fn()
         n = self.graph.num_nodes
+        rp = self._replicate_params  # TP-sharded params gather before eval
         if self._halo_eval_ok(spec):
             infer, _, xs = self._halo_ops(spec)
 
             def evaluate(params):
-                return accs(infer(params, xs)[:n])
+                return accs(infer(rp(params), xs)[:n])
 
             return evaluate
         if self.mesh is None and spec.module in self._STACK_MODULES:
@@ -460,7 +522,7 @@ class BasePipeline:
         eval_fn = S.make_eval_fn(spec)
 
         def evaluate(params):
-            return accs(eval_fn(params, self.data.x, self._full_edge_index))
+            return accs(eval_fn(rp(params), self.data.x, self._full_edge_index))
 
         return evaluate
 
@@ -472,11 +534,12 @@ class BasePipeline:
         halo-exchange sharded sweep (one boundary exchange for two nets)."""
         accs = self._split_accuracy_fn()
         n = self.graph.num_nodes
+        rp = self._replicate_params  # TP-sharded params gather before eval
         if self._halo_eval_ok(spec):
             _, infer_pair, xs = self._halo_ops(spec)
 
             def evaluate2(p1, p2):
-                l1, l2 = infer_pair(p1, p2, xs)
+                l1, l2 = infer_pair(rp(p1), rp(p2), xs)
                 return accs(l1[:n]), accs(l2[:n])
 
             return evaluate2
@@ -493,8 +556,8 @@ class BasePipeline:
 
         def evaluate2(p1, p2):
             return (
-                accs(eval_fn(p1, self.data.x, self._full_edge_index)),
-                accs(eval_fn(p2, self.data.x, self._full_edge_index)),
+                accs(eval_fn(rp(p1), self.data.x, self._full_edge_index)),
+                accs(eval_fn(rp(p2), self.data.x, self._full_edge_index)),
             )
 
         return evaluate2
@@ -532,11 +595,98 @@ class BasePipeline:
         vals = np.asarray(jnp.stack([agg[k] for k in keys]))
         return {k: float(v) / nb for k, v in zip(keys, vals)}
 
-    def _report_runs(self, label: str, best_accs: list[float]):
+    def _report_runs(self, label: str, best_accs: list[float],
+                     test_hists: list[list[float]] | None = None,
+                     reinits: list[int] | None = None) -> RunSummary:
+        """Per-branch multi-run summary. Beyond the reference's best-epoch
+        mean±std (src/pipeline.py:267-271) every summary also records FINAL
+        accuracy (last epoch) and the last-10-epoch mean — the robust
+        algorithms' advantage concentrates late in training, and a claim
+        about final accuracy must be a table cell, not prose."""
         mean, std = float(np.mean(best_accs)), float(np.std(best_accs, ddof=1) if len(best_accs) > 1 else 0.0)
-        self.logger.info(f"   RUN {label} mean {mean:.3f} +- {std:.3f} std")
-        self.metrics.write(event=f"summary_{label}", mean=mean, std=std, runs=best_accs)
-        return mean, std
+        extra: dict = {"runs": [round(float(b), 4) for b in best_accs]}
+        if test_hists:
+            finals = [float(h[-1]) for h in test_hists if h]
+            last10 = [float(np.mean(h[-10:])) for h in test_hists if h]
+            extra.update(
+                final_mean=float(np.mean(finals)),
+                final_std=float(np.std(finals, ddof=1) if len(finals) > 1 else 0.0),
+                last10_mean=float(np.mean(last10)),
+                last10_std=float(np.std(last10, ddof=1) if len(last10) > 1 else 0.0),
+                final_accs=[round(f, 4) for f in finals],
+                last10_accs=[round(f, 4) for f in last10],
+            )
+        if reinits and any(reinits):
+            # auditability vs the non-retry protocol (PARITY deviation 8):
+            # flag which runs consumed a degenerate-selection re-init
+            extra["reinit_attempts"] = list(reinits)
+        line = f"   RUN {label} mean {mean:.3f} +- {std:.3f} std"
+        if test_hists:
+            line += (f" | final {extra['final_mean']:.3f} +- "
+                     f"{extra['final_std']:.3f} | last10 "
+                     f"{extra['last10_mean']:.3f}")
+        if reinits and any(reinits):
+            line += f" | reinit retries per run {reinits}"
+        self.logger.info(line)
+        self.metrics.write(event=f"summary_{label}", mean=mean, std=std,
+                           **extra)
+        return RunSummary(mean, std, extra)
+
+    def _degen_retry(self, run: int, attempt: int, run_pure,
+                     best: float, resumed_partial: bool) -> bool:
+        """Shared degenerate-selection retry decision for every
+        co-teaching-family loop (CO/S/TE/TES/CTP/H). True = re-enter the
+        run's epoch loop with fresh inits (the noise realization stays
+        FIXED, so paired A/Bs stay paired). Measured failure mode
+        (docs/RESULTS.md round 3): on a hard pair-noise draw with an unlucky
+        init the mutual small-loss feedback never engages — purity pins at
+        the clean fraction and co-teaching degrades to CE on a random
+        (1-forget_rate) subsample; detectable online precisely because
+        purity IS the injected-noise oracle metric, and re-init recovers it
+        (tools/probe_hard_draw.py: 0.220 -> 0.768)."""
+        if resumed_partial:
+            # a run resumed mid-way has a truncated purity tail — never
+            # judge it degenerate (and never burn a retry) on partial data
+            return False
+        retries = int(self.config.get("reinit_retries", 0))
+        clean_frac = float(np.mean(self.clean))
+        if not selection_degenerate(run_pure, clean_frac):
+            return False
+        if attempt < retries:
+            self.logger.warning(
+                f"   RUN {run + 1}: selection purity flat at the clean "
+                f"fraction ({clean_frac:.3f}) - re-initializing and "
+                f"retraining (attempt {attempt + 1}/{retries})"
+            )
+            # the discarded attempt's best acc is recorded so the flagship
+            # numbers stay auditable against the non-retry protocol
+            self.metrics.write(event="reinit_degenerate", run=run,
+                               attempt=attempt + 1, discarded_best=best)
+            return True
+        self.logger.warning(
+            f"   RUN {run + 1}: selection purity flat at the clean "
+            f"fraction ({clean_frac:.3f}) - small-loss selection found no "
+            f"signal on this noise draw/init; consider a longer epoch "
+            f"budget or reinit_retries > 0 (docs/RESULTS.md)"
+        )
+        return False
+
+    def _save_pure(self, pure_hist: list[list[tuple]]):
+        """Pure-ratio curve artifact (the reference persists the tensor,
+        src/pipeline.py:273-275). Runs resumed mid-way have SHORT histories
+        (missing their pre-resume epochs): left-pad each run with NaN to the
+        longest run's length so the artifact survives ragged histories
+        instead of vanishing exactly on resumed runs."""
+        if not pure_hist:
+            return
+        pure_dir = os.path.join(self.config["out_dir"], "pure")
+        os.makedirs(pure_dir, exist_ok=True)
+        max_e = max(len(p) for p in pure_hist)
+        arr = np.full((len(pure_hist), max_e, 2), np.nan, np.float32)
+        for i, p in enumerate(pure_hist):
+            if p:
+                arr[i, max_e - len(p):] = np.asarray(p, np.float32)
+        np.save(os.path.join(pure_dir, f"{self.output_name}.npy"), arr)
 
     def _loop_baseline(self):
         """Plain CE / backward-correction baseline on the module_compare net
@@ -563,7 +713,7 @@ class BasePipeline:
         evaluate = self.make_eval(spec)
         train_idx = self.split_idx["train"]
         bs = int(c["batch_size"])
-        best_accs = []
+        best_accs, test_hists = [], []
         for run in range(int(c["num_runs"])):
             if self.reflip_per_run:
                 # same (seed, run) realization as nalgo run `run`: a PAIRED
@@ -572,8 +722,8 @@ class BasePipeline:
                 # last nalgo draw, so its comparison is unpaired.)
                 self._flip_labels(run)
             noise_mat = self._put(jnp.asarray(self.noise_mat, jnp.float32))
-            s = self._put(S.init_state(self.next_key(), spec, self.optimizer))
-            best = 0.0
+            s = self._put_state(S.init_state(self.next_key(), spec, self.optimizer))
+            best, hist = 0.0, []
             for epoch in range(int(c["max_epochs"])):
                 if fullgraph:
                     nb = 1
@@ -589,6 +739,7 @@ class BasePipeline:
                 rec_raw = self._fetch_metrics(agg, nb)
                 acc = evaluate(s.params)
                 best = max(best, acc["test"])
+                hist.append(acc["test"])
                 self.metrics.write(
                     event="epoch_baseline", run=run, epoch=epoch,
                     loss=rec_raw["loss"],
@@ -602,7 +753,8 @@ class BasePipeline:
                     )
             self.logger.info(f"   RUN {run + 1} - best baseline test acc: {best:.3f}")
             best_accs.append(best)
-        return self._report_runs("baseline", best_accs)
+            test_hists.append(hist)
+        return self._report_runs("baseline", best_accs, test_hists)
 
 
 class PipelineCO(BasePipeline):
@@ -679,29 +831,27 @@ class PipelineCO(BasePipeline):
             if fullgraph else tree_edges_per_batch(bs, self.fanouts)
         )
         ckpt_every, ckpt_path = self._ckpt_setup("ct")
-        best_accs = []
+        best_accs, test_hists, reinits = [], [], []
         pure_hist = []  # [run][epoch] -> (pure_ratio_1, pure_ratio_2)
         tmpl_s = S.init_state(jax.random.key(0), spec, self.optimizer)
-        states, start_run, start_epoch, _ = self._try_resume(
+        states, start_run, start_epoch, meta = self._try_resume(
             ckpt_path, (tmpl_s, tmpl_s)
         )
         s1, s2 = states if states is not None else (None, None)
-        retries = int(c.get("reinit_retries", 0))
         for run in range(start_run, int(c["num_runs"])):
             if self.reflip_per_run:
                 self._flip_labels(run)  # (seed, run)-keyed: pairs the A/B
-            # retry shell: when the run ends selection-degenerate and
-            # reinit_retries allows, re-enter the epoch loop with freshly
-            # initialized nets; the noise realization stays FIXED, so the
-            # paired A/B comparison is untouched (probe_hard_draw.py: the
-            # run-1 flagship draw recovers 0.220 -> 0.768 on re-init)
-            attempt = 0
+            # retry shell (shared decision: _degen_retry): when the run ends
+            # selection-degenerate and reinit_retries allows, re-enter the
+            # epoch loop with freshly initialized nets
+            attempt = int(meta.get("attempt", 0)) if run == start_run else 0
             while True:
+              resumed_partial = start_epoch > 0
               if s1 is None:
-                s1 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
-                s2 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
+                s1 = self._put_state(S.init_state(self.next_key(), spec, self.optimizer))
+                s2 = self._put_state(S.init_state(self.next_key(), spec, self.optimizer))
               best1 = best2 = 0.0
-              run_pure = []
+              run_pure, run_test = [], []
               for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 t_train = time.perf_counter()
@@ -723,6 +873,7 @@ class PipelineCO(BasePipeline):
                 t_train = time.perf_counter() - t_train
                 acc1, acc2 = evaluate_pair(s1.params, s2.params)
                 best1, best2 = max(best1, acc1["test"]), max(best2, acc2["test"])
+                run_test.append(max(acc1["test"], acc2["test"]))
                 rec = dict(rec_raw)
                 rec["train_acc_1"] = rec_raw["correct_1"] * nb / train_idx.shape[0]
                 rec["train_acc_2"] = rec_raw["correct_2"] * nb / train_idx.shape[0]
@@ -737,7 +888,7 @@ class PipelineCO(BasePipeline):
                 )
                 if ckpt_every and (epoch + 1) % ckpt_every == 0:
                     save_checkpoint(ckpt_path, ((s1, s2), self.key),
-                                    self._ckpt_meta(run, epoch))
+                                    self._ckpt_meta(run, epoch, attempt))
                 if c["epoch_logger"] and not ((epoch + 1) % 10):
                     self.logger.info(
                         f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
@@ -748,47 +899,19 @@ class PipelineCO(BasePipeline):
               self.logger.info(
                 f"   RUN {run + 1} - best nalgo test acc1: {best1:.3f}   acc2: {best2:.3f}"
               )
-              clean_frac = float(np.mean(self.clean))
-              degen = selection_degenerate(run_pure, clean_frac)
               s1 = s2 = None
               start_epoch = 0
-              if degen and attempt < retries:
-                # measured failure mode (docs/RESULTS.md round 3): on a hard
-                # pair-noise draw with an unlucky init the mutual small-loss
-                # feedback never engages — purity pins at the clean fraction
-                # and co-teaching becomes CE on a random (1-forget_rate)
-                # subsample. Detectable online precisely because purity IS
-                # the oracle metric; re-init recovers it.
+              if self._degen_retry(run, attempt, run_pure,
+                                   max(best1, best2), resumed_partial):
                 attempt += 1
-                self.logger.warning(
-                    f"   RUN {run + 1}: selection purity flat at the clean "
-                    f"fraction ({clean_frac:.3f}) - re-initializing and "
-                    f"retraining (attempt {attempt}/{retries})"
-                )
-                self.metrics.write(event="reinit_degenerate", run=run,
-                                   attempt=attempt)
                 continue
-              if degen:
-                self.logger.warning(
-                    f"   RUN {run + 1}: selection purity flat at the clean "
-                    f"fraction ({clean_frac:.3f}) - small-loss selection "
-                    f"found no signal on this noise draw/init; consider a "
-                    f"longer epoch budget or reinit_retries > 0 "
-                    f"(docs/RESULTS.md)"
-                )
               break
             best_accs.append(max(best1, best2))
+            test_hists.append(run_test)
+            reinits.append(attempt)
             pure_hist.append(run_pure)
-        # pure-ratio curve artifact (reference saves the tensor to disk,
-        # src/pipeline.py:273-275)
-        try:
-            pure_dir = os.path.join(c["out_dir"], "pure")
-            os.makedirs(pure_dir, exist_ok=True)
-            np.save(os.path.join(pure_dir, f"{self.output_name}.npy"),
-                    np.asarray(pure_hist, np.float32))
-        except ValueError:  # ragged after a mid-run resume — keep the JSONL
-            pass
-        return self._report_runs("nalgo", best_accs)
+        self._save_pure(pure_hist)
+        return self._report_runs("nalgo", best_accs, test_hists, reinits)
 
 class PipelineS(PipelineCO):
     """Small-graph variant: 'small' forget schedule, labels flipped once
@@ -838,10 +961,10 @@ class PipelineTE(BasePipeline):
         bs = int(c["batch_size"])
         ckpt_every, ckpt_path = self._ckpt_setup("te")
         tp = (nets.init_params(jax.random.key(0), spec),) * 2
-        s, start_run, start_epoch, _ = self._try_resume(
+        s, start_run, start_epoch, meta = self._try_resume(
             ckpt_path, S.TrainState(tp, self.optimizer.init(tp))
         )
-        best_accs = []
+        best_accs, test_hists, reinits = [], [], []
         for run in range(start_run, int(c["num_runs"])):
             if self.reflip_per_run:
                 # (seed, run)-keyed draw: the SAME realization _loop_baseline
@@ -849,14 +972,18 @@ class PipelineTE(BasePipeline):
                 # (reference re-flip semantics src/pipeline.py:207-208 +
                 # docs/PARITY.md deviation 7)
                 self._flip_labels(run)
-            if s is None:
+            attempt = int(meta.get("attempt", 0)) if run == start_run else 0
+            while True:
+              resumed_partial = start_epoch > 0
+              if s is None:
                 p1 = nets.init_params(self.next_key(), spec)
                 p2 = nets.init_params(self.next_key(), spec)
-                s = self._put(
+                s = self._put_state(
                     S.TrainState((p1, p2), self.optimizer.init((p1, p2)))
                 )
-            best = 0.0
-            for epoch in range(start_epoch, int(c["max_epochs"])):
+              best = 0.0
+              run_pure, run_test = [], []
+              for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 epoch_fn = epoch_cont if epoch > int(c["ct_tk"]) else epoch_plain
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
@@ -867,6 +994,9 @@ class PipelineTE(BasePipeline):
                 t_train = time.perf_counter() - t_train
                 acc1, acc2 = evaluate_pair(s.params[0], s.params[1])
                 best = max(best, acc1["test"], acc2["test"])
+                run_test.append(max(acc1["test"], acc2["test"]))
+                run_pure.append((rec.get("pure_ratio_1", 0.0),
+                                 rec.get("pure_ratio_2", 0.0)))
                 self.metrics.write(
                     event="epoch_te", run=run, epoch=epoch, **rec,
                     epoch_train_s=t_train,
@@ -875,17 +1005,24 @@ class PipelineTE(BasePipeline):
                 )
                 if ckpt_every and (epoch + 1) % ckpt_every == 0:
                     save_checkpoint(ckpt_path, (s, self.key),
-                                    self._ckpt_meta(run, epoch))
+                                    self._ckpt_meta(run, epoch, attempt))
                 if c["epoch_logger"] and not ((epoch + 1) % 5):
                     self.logger.info(
                         f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
                         f"v1: {acc1['valid']:.3f} v2: {acc2['valid']:.3f} "
                         f"tst1: {acc1['test']:.3f} tst2: {acc2['test']:.3f}"
                     )
-            self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
+              self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
+              s, start_epoch = None, 0
+              if self._degen_retry(run, attempt, run_pure, best,
+                                   resumed_partial):
+                  attempt += 1
+                  continue
+              break
             best_accs.append(best)
-            s, start_epoch = None, 0
-        return self._report_runs("te", best_accs)
+            test_hists.append(run_test)
+            reinits.append(attempt)
+        return self._report_runs("te", best_accs, test_hists, reinits)
 
 
 class PipelineTES(PipelineTE):
@@ -927,19 +1064,23 @@ class PipelineCTP(BasePipeline):
         bs = int(c["batch_size"])
         ckpt_every, ckpt_path = self._ckpt_setup("ctp")
         tmpl_s = S.init_state(jax.random.key(0), spec, self.optimizer)
-        states, start_run, start_epoch, _ = self._try_resume(
+        states, start_run, start_epoch, meta = self._try_resume(
             ckpt_path, (tmpl_s, tmpl_s)
         )
         s1, s2 = states if states is not None else (None, None)
-        best_accs = []
+        best_accs, test_hists, reinits = [], [], []
         for run in range(start_run, int(c["num_runs"])):
             if self.reflip_per_run:
                 self._flip_labels(run)  # (seed, run)-keyed: pairs the A/B
-            if s1 is None:
-                s1 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
-                s2 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
-            best = 0.0
-            for epoch in range(start_epoch, int(c["max_epochs"])):
+            attempt = int(meta.get("attempt", 0)) if run == start_run else 0
+            while True:
+              resumed_partial = start_epoch > 0
+              if s1 is None:
+                s1 = self._put_state(S.init_state(self.next_key(), spec, self.optimizer))
+                s2 = self._put_state(S.init_state(self.next_key(), spec, self.optimizer))
+              best = 0.0
+              run_pure, run_test = [], []
+              for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 epoch_fn = epoch1 if epoch > 0 else epoch0
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
@@ -952,6 +1093,9 @@ class PipelineCTP(BasePipeline):
                 t_train = time.perf_counter() - t_train
                 acc1, acc2 = evaluate_pair(s1.params, s2.params)
                 best = max(best, acc1["test"], acc2["test"])
+                run_test.append(max(acc1["test"], acc2["test"]))
+                run_pure.append((rec.get("pure_ratio_1", 0.0),
+                                 rec.get("pure_ratio_2", 0.0)))
                 self.metrics.write(
                     event="epoch_ctp", run=run, epoch=epoch, **rec,
                     epoch_train_s=t_train,
@@ -960,17 +1104,24 @@ class PipelineCTP(BasePipeline):
                 )
                 if ckpt_every and (epoch + 1) % ckpt_every == 0:
                     save_checkpoint(ckpt_path, ((s1, s2), self.key),
-                                    self._ckpt_meta(run, epoch))
+                                    self._ckpt_meta(run, epoch, attempt))
                 if c["epoch_logger"] and not ((epoch + 1) % 5):
                     self.logger.info(
                         f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
                         f"v1: {acc1['valid']:.3f} v2: {acc2['valid']:.3f} "
                         f"tst1: {acc1['test']:.3f} tst2: {acc2['test']:.3f}"
                     )
-            self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
+              self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
+              s1, s2, start_epoch = None, None, 0
+              if self._degen_retry(run, attempt, run_pure, best,
+                                   resumed_partial):
+                  attempt += 1
+                  continue
+              break
             best_accs.append(best)
-            s1, s2, start_epoch = None, None, 0
-        return self._report_runs("ctp", best_accs)
+            test_hists.append(run_test)
+            reinits.append(attempt)
+        return self._report_runs("ctp", best_accs, test_hists, reinits)
 
 
 class PipelineH(BasePipeline):
@@ -997,22 +1148,26 @@ class PipelineH(BasePipeline):
             nets.init_params(jax.random.key(0), spec),
             nets.init_params(jax.random.key(0), pseudo_spec),
         )
-        s, start_run, start_epoch, _ = self._try_resume(
+        s, start_run, start_epoch, meta = self._try_resume(
             ckpt_path, S.TrainState(tj, self.optimizer.init(tj))
         )
-        best_accs = []
+        best_accs, test_hists, reinits = [], [], []
         for run in range(start_run, int(c["num_runs"])):
             if self.reflip_per_run:
                 self._flip_labels(run)  # (seed, run)-keyed: pairs the A/B
-            if s is None:
+            attempt = int(meta.get("attempt", 0)) if run == start_run else 0
+            while True:
+              resumed_partial = start_epoch > 0
+              if s is None:
                 joint = (
                     nets.init_params(self.next_key(), spec),
                     nets.init_params(self.next_key(), spec),
                     nets.init_params(self.next_key(), pseudo_spec),
                 )
-                s = self._put(S.TrainState(joint, self.optimizer.init(joint)))
-            best = 0.0
-            for epoch in range(start_epoch, int(c["max_epochs"])):
+                s = self._put_state(S.TrainState(joint, self.optimizer.init(joint)))
+              best = 0.0
+              run_pure, run_test = [], []
+              for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 epoch_fn = epoch1 if epoch > 0 else epoch0
                 seeds, masks = self.epoch_seed_matrix(train_idx, bs)
@@ -1023,6 +1178,9 @@ class PipelineH(BasePipeline):
                 t_train = time.perf_counter() - t_train
                 acc1, acc2 = evaluate_pair(s.params[0], s.params[1])
                 best = max(best, acc1["test"], acc2["test"])
+                run_test.append(max(acc1["test"], acc2["test"]))
+                run_pure.append((rec.get("pure_ratio_1", 0.0),
+                                 rec.get("pure_ratio_2", 0.0)))
                 self.metrics.write(
                     event="epoch_h", run=run, epoch=epoch, **rec,
                     epoch_train_s=t_train,
@@ -1031,11 +1189,18 @@ class PipelineH(BasePipeline):
                 )
                 if ckpt_every and (epoch + 1) % ckpt_every == 0:
                     save_checkpoint(ckpt_path, (s, self.key),
-                                    self._ckpt_meta(run, epoch))
-            self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
+                                    self._ckpt_meta(run, epoch, attempt))
+              self.logger.info(f"   RUN {run + 1} - best test acc: {best:.3f}")
+              s, start_epoch = None, 0
+              if self._degen_retry(run, attempt, run_pure, best,
+                                   resumed_partial):
+                  attempt += 1
+                  continue
+              break
             best_accs.append(best)
-            s, start_epoch = None, 0
-        return self._report_runs("h", best_accs)
+            test_hists.append(run_test)
+            reinits.append(attempt)
+        return self._report_runs("h", best_accs, test_hists, reinits)
 
 
 class PipelineCT(BasePipeline):
@@ -1111,8 +1276,8 @@ class PipelineCT(BasePipeline):
                                   ckpt_every, ft_ckpt)
 
         # ---- phase 1: warmup with best-val checkpointing
-        s1 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
-        s2 = self._put(S.init_state(self.next_key(), spec, self.optimizer))
+        s1 = self._put_state(S.init_state(self.next_key(), spec, self.optimizer))
+        s2 = self._put_state(S.init_state(self.next_key(), spec, self.optimizer))
         best_val, best_params = 0.0, s1.params
         for epoch in range(warmup):
             fr = jnp.float32(self.rate_schedule[epoch])
@@ -1150,7 +1315,7 @@ class PipelineCT(BasePipeline):
             noisy_ids = np.concatenate([noisy_ids, clean_ids[extra]])
 
         # ---- phase 2: semi + contrastive finetune of model1
-        s = self._put(S.TrainState(best_params, ft_opt.init(best_params)))
+        s = self._put_state(S.TrainState(best_params, ft_opt.init(best_params)))
         # best-epoch reporting like every other pipeline (the reference only
         # logs val acc per epoch; the repo-wide criterion is best test acc)
         start_acc = evaluate(s.params)
@@ -1174,6 +1339,7 @@ class PipelineCT(BasePipeline):
         if self.mesh is not None:  # seed batches shard over the data axis
             nd = self.mesh.shape["data"]
             bs2 += (-bs2) % nd
+        ft_test = []
         for epoch in range(ft_start, int(c["max_epochs"])):
             cs, cm = self.epoch_seed_matrix(clean_ids, bs2)
             ns, nm = self.epoch_seed_matrix(noisy_ids, bs2)
@@ -1185,6 +1351,7 @@ class PipelineCT(BasePipeline):
             rec = self._fetch_metrics(agg, max(nb, 1))
             acc = evaluate(s.params)
             best_test = max(best_test, acc["test"])
+            ft_test.append(acc["test"])
             self.metrics.write(event="finetune", epoch=epoch, **rec,
                                val_acc=acc["valid"], test_acc=acc["test"])
             if ckpt_every and (epoch + 1) % ckpt_every == 0:
@@ -1200,12 +1367,19 @@ class PipelineCT(BasePipeline):
                 f"val acc {acc['valid']:.3f} test acc {acc['test']:.3f}"
             )
         final = evaluate(s.params)
+        extra = {
+            "final_mean": final["test"],
+            "last10_mean": float(np.mean(ft_test[-10:])) if ft_test
+            else final["test"],
+            "warmup_best_val": best_val,
+        }
         self.metrics.write(event="summary_contrastive", mean=best_test, std=0.0,
-                           final=final["test"], warmup_best_val=best_val)
+                           final=final["test"], **extra)
         self.logger.info(
             f"   contrastive best test {best_test:.3f} (final {final['test']:.3f})"
         )
-        return {"contrastive": (best_test, 0.0), "final": final}
+        return {"contrastive": RunSummary(best_test, 0.0, extra),
+                "final": final}
 
     def _split(self, spec, p1, p2, epoch):
         """Small-loss partition of the train set (reference split(),

@@ -118,6 +118,12 @@ def epoch_jit(
     every device to see all batch losses; GSPMD emits exactly that gather
     because the ranks flow into replicated outputs.
 
+    With a ``model`` axis of size > 1 (TP), states arrive pre-sharded by
+    parallel.mesh.param_sharding (hidden weight columns over ``model``); the
+    state shardings are left unpinned so GSPMD keeps the layout the caller
+    placed (pinning them replicated would silently all-gather the params
+    every epoch — the round-3 'TP is a config no-op' defect).
+
     Without ``mesh``: the plain single-device jit used since round 1."""
     donate = tuple(range(n_states))
     if mesh is None:
@@ -126,12 +132,15 @@ def epoch_jit(
 
     rep = NamedSharding(mesh, P())
     seed = NamedSharding(mesh, P(None, "data"))
+    # None = inherit the operand's placement / let GSPMD choose the output
+    st = None if dict(mesh.shape).get("model", 1) > 1 else rep
     in_sh = (
-        (rep,) * (n_states + n_data_args)
+        (st,) * n_states
+        + (rep,) * n_data_args
         + (seed,) * n_seed_args
         + (rep,) * n_tail_args
     )
-    out_sh = (rep,) * n_states + (rep,)
+    out_sh = (st,) * n_states + (rep,)
     return functools.partial(
         jax.jit, donate_argnums=donate, in_shardings=in_sh, out_shardings=out_sh
     )

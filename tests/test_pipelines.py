@@ -329,3 +329,78 @@ def test_reinit_on_degenerate_retries_once(tmp_path, monkeypatch):
     # both attempts' epochs are in the stream
     n_epochs = sum(r.get("event") == "epoch_ct" for r in lines)
     assert n_epochs == 2 * cfg["max_epochs"]
+
+
+@pytest.mark.parametrize("cls_name,over", [
+    ("PipelineTES", dict(module="sagePL", algo_type="coteaching", ct_tk=1,
+                         spl_rewire_rate=0.02, batch_size=64)),
+    ("PipelineCTP", dict(module="sagePL", algo_type="ctp", batch_size=64)),
+])
+def test_reinit_retry_shared_with_family(tmp_path, monkeypatch, cls_name,
+                                         over):
+    """The degenerate-selection retry shell is shared by the whole
+    co-teaching family (VERDICT r3 item #7): TE/TES and CTP honor
+    reinit_retries through the same _degen_retry decision."""
+    import json
+
+    import noise_gnn_tpu.train.pipelines as P
+
+    calls = []
+
+    def fake_degenerate(run_pure, clean_frac, tol=0.005):
+        calls.append(len(run_pure))
+        return len(calls) == 1  # first attempt degenerate, retry clean
+
+    monkeypatch.setattr(P, "selection_degenerate", fake_degenerate)
+    cfg = tiny_config(tmp_path, train_type="nalgo", reinit_retries=1,
+                      max_epochs=3, **over)
+    pipe = getattr(P, cls_name)(cfg)
+    res = pipe.loop()
+    assert len(calls) == 2  # one retry, second attempt accepted
+    assert np.isfinite(res[0])
+    files = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path)
+             for f in fs if f.endswith(".jsonl")]
+    lines = [json.loads(l) for f in files for l in open(f)]
+    ev = [r for r in lines if r.get("event") == "reinit_degenerate"]
+    assert len(ev) == 1
+    # the discarded attempt's best acc is recorded for auditability
+    assert "discarded_best" in ev[0]
+
+
+def test_summary_reports_final_and_last10(tmp_path):
+    """Every branch summary carries final-epoch and last-10-epoch accuracy
+    next to the reference's best-epoch criterion (VERDICT r3 item #2)."""
+    import json
+
+    cfg = tiny_config(tmp_path, train_type="both", compare_loss="back")
+    res = PipelineS(cfg).loop()
+    for branch in ("nalgo", "baseline"):
+        extra = res[branch].extra
+        assert {"final_mean", "last10_mean", "final_accs",
+                "runs"} <= set(extra)
+        assert 0.0 <= extra["final_mean"] <= 1.0
+        # tuple compatibility intact
+        mean, std = res[branch]
+        assert np.isfinite(mean) and np.isfinite(std)
+    files = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path)
+             for f in fs if f.endswith(".jsonl")]
+    lines = [json.loads(l) for f in files for l in open(f)]
+    summaries = [r for r in lines
+                 if str(r.get("event", "")).startswith("summary_")]
+    assert summaries and all("final_mean" in s for s in summaries)
+
+
+def test_save_pure_survives_ragged_resume_histories(tmp_path):
+    """A run resumed mid-way has a SHORT pure history; the artifact must
+    still be written, NaN-left-padded (VERDICT r3 item #8 — the bare
+    `except ValueError: pass` dropped it exactly on resumed runs)."""
+    cfg = tiny_config(tmp_path, train_type="nalgo", max_epochs=2)
+    pipe = PipelineCO(cfg)
+    ragged = [[(0.7, 0.71), (0.72, 0.73)], [(0.74, 0.75)]]  # run 1 resumed
+    pipe._save_pure(ragged)
+    path = tmp_path / "pure" / f"{pipe.output_name}.npy"
+    arr = np.load(path)
+    assert arr.shape == (2, 2, 2)
+    assert np.isnan(arr[1, 0]).all()  # missing pre-resume epochs padded
+    np.testing.assert_allclose(arr[1, 1], [0.74, 0.75])
+    np.testing.assert_allclose(arr[0], [[0.7, 0.71], [0.72, 0.73]])

@@ -110,10 +110,21 @@ def main():
     t_r = fetch_time(lambda: r(msgs0, dst_g, dgi, base, maps), args.iters)
     nchunks = maps[0].shape[0]
     e1 = op._groups[0][3]
+    # the timed fn zero-fills the [npad, F] output inside the jit — a cost
+    # the real chained path pays once per APPLY, not per group; measure the
+    # fill separately so the per-group reduce figure isn't skewed by it
+    npad = op._g_nblocks * ps.ROW_BLOCK
+    zfill = jax.jit(
+        lambda: jnp.zeros((npad, f), jnp.float32).sum(dtype=jnp.float32)
+    )
+    t_z = fetch_time(lambda: zfill(), args.iters)
+    t_r_net = max(t_r - t_z, 0.0)
     log(f"reduce only (group 0): {t_r * 1e3:8.1f} ms  -> "
         f"{e1 / t_r / 1e6:6.1f} M edges/s"
-        f"  ({t_r / nchunks * 1e6:.2f} us/chunk, {nchunks} chunks)")
-    t_r_all = t_r * len(op._parts)
+        f"  ({t_r / nchunks * 1e6:.2f} us/chunk, {nchunks} chunks; "
+        f"includes ~{t_z * 1e3:.1f} ms output zero-fill -> "
+        f"{e1 / max(t_r_net, 1e-9) / 1e6:6.1f} M edges/s net)")
+    t_r_all = t_r_net * len(op._parts) + t_z  # chained path fills ONCE
     log(f"gather+reduce serial sum (est): {(t_g + t_r_all) * 1e3:.1f} ms "
         f"(whole-op overhead: {(t - t_g - t_r_all) * 1e3:+.1f} ms)")
 
