@@ -147,6 +147,8 @@ def validate_config(cfg: dict) -> None:
         raise ValueError("nbr_neighbors must be a list of positive ints")
     if str(cfg.get("aggr", "mean")) not in ("mean", "max"):
         raise ValueError("aggr must be 'mean' or 'max'")
+    if int(cfg.get("model_parallel", 1)) < 1:
+        raise ValueError("model_parallel must be >= 1")
 
 
 def run_name(cfg: dict) -> str:

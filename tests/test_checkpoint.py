@@ -187,7 +187,15 @@ def test_reference_configs_load():
     from noise_gnn_tpu.utils.config import load_config
 
     paths = glob.glob("configs/*.yml")
-    assert len(paths) >= 10
+    # full reference hypervolume: 12 distinct shapes + 24 numbered variants
+    # (tools/gen_config_variants.py), = the reference's 36 config/ files
+    assert len(paths) >= 36
+    import main as climain
+
+    dispatch = {"codi", "coteaching", "ctp", "contrastive", "grid",
+                "analysis", "hpseudo", "baseline"}
     for p in paths:
         cfg = load_config(p)
         assert run_name(cfg)  # name derivation works for every config
+        assert cfg["algo_type"] in dispatch  # CLI dispatch resolves
+        assert hasattr(climain, "main")
