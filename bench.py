@@ -101,6 +101,35 @@ def main():
         f"{rate_fused / 1e6:.1f} M edges/s")
     rate_pallas = max(rate_pallas, rate_fused)
 
+    # chained form: K back-to-back applications inside ONE jit (the
+    # production pattern — stacked GNN layers / repeated eval sweeps run
+    # SpMMs back to back). A single application's wall time through the dev
+    # tunnel includes ~24 ms of FIXED scalar-fetch latency (measured,
+    # docs/DESIGN.md) that is host-link artifact, not kernel time; chaining
+    # amortizes it to ~24/K ms. Each link feeds the previous output back in
+    # (data dependence — XLA cannot CSE the links), so every link does the
+    # full gather + reduce over e edges.
+    K = 8
+    def chain(xx, parts):
+        y = xx
+        for _ in range(K):
+            # out_dtype=input dtype: the cast rides the kernel's flush DMA
+            # (free), so each link's output feeds the next link's gather
+            # with no extra astype pass
+            y = op._traced(y, parts, True, interp, out_dtype=xx.dtype)
+        return y.sum(dtype=jnp.float32)
+
+    try:
+        jchain = jax.jit(chain)
+        t_chain = fetch_time(lambda: jchain(x, op._parts),
+                             max(args.iters // 2, 2))
+        rate_chain = K * e / t_chain
+        log(f"pallas hybrid (chain x{K}): {t_chain * 1e3:.1f} ms -> "
+            f"{rate_chain / 1e6:.1f} M edges/s steady-state")
+        rate_pallas = max(rate_pallas, rate_chain)
+    except Exception as ex:  # never lose the headline to the chain leg
+        log(f"chained form failed ({type(ex).__name__}: {ex})")
+
     # dual-stream form: co-teaching evaluates TWO networks on the same graph
     # every epoch, and the gather engine is per-INDEX bound (row width free),
     # so one [N, 2F] sweep serves both models for one model's gather cost

@@ -144,6 +144,14 @@ MATRIX_BIG = [
      "config_products.yml",
      dict(train_type="both", compare_loss="normal", num_runs=3,
           batch_id=90, exact_leaf=True, _timeout=10800)),
+    # budget-hypothesis test for the flagship: at 50 epochs CE's best-epoch
+    # peak still leads co-teaching (round-4 row above); the hard-draw probe
+    # showed CT reaching 0.768 by epoch 100 (tools/probe_hard_draw.py).
+    # Same (seed, run)-keyed noise draws as the 50-epoch row.
+    ("ogbn-products co-teaching vs CE, 100-epoch budget",
+     "config_products.yml",
+     dict(train_type="both", compare_loss="normal", num_runs=3,
+          batch_id=95, exact_leaf=True, max_epochs=100, _timeout=14400)),
     ("ogbn-arxiv rand_pair 0.3 co-teaching vs CE", "config_arxiv.yml",
      dict(train_type="both", what="", module="sage", compare_loss="normal",
           num_runs=3, batch_id=90)),

@@ -107,7 +107,8 @@ def main():
             s += jnp.take(xx, src_g, axis=0).sum(dtype=jnp.float32)
         return s
 
-    t_gf = fetch_time(lambda: jax.jit(g_fused)(x, op._parts), args.iters)
+    jgf = jax.jit(g_fused)
+    t_gf = fetch_time(lambda: jgf(x, op._parts), args.iters)
     n_idx = sum(p[0].shape[0] for p in op._parts)
     log(f"gather fused-sum:     {t_gf * 1e3:8.1f} ms  "
         f"-> {n_idx / t_gf / 1e6:6.1f} M idx/s")
@@ -122,7 +123,8 @@ def main():
             s += m.sum(dtype=jnp.float32)
         return s
 
-    t_gm = fetch_time(lambda: jax.jit(g_mat)(x, op._parts), args.iters)
+    jgm = jax.jit(g_mat)
+    t_gm = fetch_time(lambda: jgm(x, op._parts), args.iters)
     bytes_msgs = n_idx * f * jnp.dtype(args.dtype).itemsize
     t_read = bytes_msgs / 819e9
     log(f"gather materialized:  {t_gm * 1e3:8.1f} ms  "
@@ -131,15 +133,16 @@ def main():
     log(f"  => materialization premium vs fused: "
         f"{(t_gm - t_read - t_gf) * 1e3:+.1f} ms")
 
-    # pure copy roofline for reference
-    big = jax.random.normal(jax.random.key(2), (n_idx // 128 * 128, f),
-                            jnp.dtype(args.dtype))
-    t_copy = fetch_time(
-        lambda: jax.jit(
-            lambda a: jax.lax.optimization_barrier(a + 0).sum(
-                dtype=jnp.float32))(big),
-        args.iters)
-    log(f"copy+read same bytes: {t_copy * 1e3:8.1f} ms (read+write+read)")
+    # pure copy roofline for reference (ONE group's worth — a full-size
+    # second buffer OOMs next to the op's own intermediates)
+    g1 = op._parts[0][0].shape[0] // 128 * 128
+    big = jax.random.normal(jax.random.key(2), (g1, f), jnp.dtype(args.dtype))
+    jcp = jax.jit(
+        lambda a: jax.lax.optimization_barrier(a + 0).sum(dtype=jnp.float32))
+    t_copy = fetch_time(lambda: jcp(big), args.iters)
+    scale = n_idx / g1
+    log(f"copy+read one group:  {t_copy * 1e3:8.1f} ms (read+write+read; "
+        f"x{scale:.1f} groups = {t_copy * scale * 1e3:.1f} ms)")
 
     if args.hlo:
         txt = jax.jit(lambda xx, parts: op._traced(
