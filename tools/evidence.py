@@ -152,6 +152,15 @@ MATRIX_BIG = [
      "config_products.yml",
      dict(train_type="both", compare_loss="normal", num_runs=3,
           batch_id=95, exact_leaf=True, max_epochs=100, _timeout=14400)),
+    # discard-cost diagnostic (DEVIATES from the reference's ct_tau 1.2):
+    # at products scale CE never memorizes the noise (train acc on noisy
+    # labels stays ~0.36 at epoch 90), so the reference protocol's 36%
+    # sample discard is pure cost. Same (seed, run) draws as the flagship
+    # row -> directly comparable to its paired CE branch.
+    ("ogbn-products co-teaching ct_tau 0.5 (discard-cost diagnostic)",
+     "config_products.yml",
+     dict(train_type="nalgo", num_runs=3, batch_id=96, exact_leaf=True,
+          ct_tau=0.5, _timeout=7200)),
     ("ogbn-arxiv rand_pair 0.3 co-teaching vs CE", "config_arxiv.yml",
      dict(train_type="both", what="", module="sage", compare_loss="normal",
           num_runs=3, batch_id=90)),
