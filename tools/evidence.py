@@ -36,7 +36,13 @@ def run_one(base_cfg: str, overrides: dict) -> dict:
     if isinstance(res, tuple):  # train_type 'nalgo'/'baseline' alone
         res = {overrides.get("train_type", "nalgo") or "nalgo": res}
     if isinstance(res, list):  # PipelineSG grid rows
+        out["grid_top3"] = [
+            {k: (round(float(v), 4) if isinstance(v, (int, float)) else v)
+             for k, v in r.items()} for r in res[:3]
+        ]
         res = {"grid_best": (float(res[0]["acc"]), 0.0)}
+    if isinstance(res, dict) and "best_val" in res:  # PipelineA
+        res = {"analysis_best_val": (float(res["best_val"]), 0.0)}
     for branch, val in (res or {}).items():
         if isinstance(val, tuple) and len(val) == 2:
             out[branch] = {"mean": round(val[0], 4), "std": round(val[1], 4)}
@@ -108,6 +114,13 @@ MATRIX = [
     ("computers sym 0.45 CoDis vs CE", "config_amazon.yml",
      dict(train_type="both", noise_type="sym", noise_rate=0.45,
           compare_loss="normal", num_runs=3, batch_id=90)),
+    # the remaining two pipeline families, so every round's matrix carries
+    # hardware evidence for all 9 (SG sweeps 3x3 beta x tau TES cells;
+    # A reports best-val + clean/noisy selection probes + confusion matrix)
+    ("cora sym 0.3 grid search (SG, beta x tau)", "config_grid.yml",
+     dict(batch_id=90, _timeout=5400)),
+    ("cora sym 0.3 selection analysis (A)", "config_analysis.yml",
+     dict(batch_id=90)),
 ]
 
 # Ordered most-critical-first so a wall-clock cut still leaves the rows
