@@ -203,8 +203,17 @@ def load_network(config: dict) -> Graph:
     seed = int(config.get("seed", 0))
     rng = np.random.default_rng(seed)
 
+    # real raw data first (native parsers for the reference's on-disk
+    # formats — Planetoid pickles, graph2gauss/Amazon npz, OGB csv.gz;
+    # graph/readers.py): dropping the real files under data_dir yields a
+    # real-data parity run with no torch/PyG anywhere
+    from .readers import detect_and_read
+
+    g = detect_and_read(data_dir, name)
     npz = os.path.join(data_dir, f"{name}.npz")
-    if os.path.exists(npz):
+    if g is not None:
+        pass
+    elif os.path.exists(npz):
         g = _load_npz(npz, name)
     else:
         scale = max(int(config.get("synthetic_scale", 1)), 1)

@@ -740,12 +740,20 @@ class BasePipeline:
                 acc = evaluate(s.params)
                 best = max(best, acc["test"])
                 hist.append(acc["test"])
-                self.metrics.write(
-                    event="epoch_baseline", run=run, epoch=epoch,
+                rec = dict(
                     loss=rec_raw["loss"],
                     train_acc=rec_raw["correct"] * nb / train_idx.shape[0],
                     val_acc=acc["valid"], test_acc=acc["test"],
                 )
+                if "agree" in rec_raw:
+                    # memorization probes (counts summed over the epoch;
+                    # _fetch_metrics divided by nb, which cancels in ratios)
+                    rec["train_acc_noisy"] = (
+                        rec_raw["agree"] * nb / train_idx.shape[0])
+                    rec["noisy_fit"] = (
+                        rec_raw["noisyfit"] / max(rec_raw["corrupt_n"], 1e-9))
+                self.metrics.write(event="epoch_baseline", run=run,
+                                   epoch=epoch, **rec)
                 if c["epoch_logger"] and not ((epoch + 1) % 10):
                     self.logger.info(
                         f"   Train epoch {epoch + 1}/{c['max_epochs']} --- "
@@ -877,6 +885,16 @@ class PipelineCO(BasePipeline):
                 rec = dict(rec_raw)
                 rec["train_acc_1"] = rec_raw["correct_1"] * nb / train_idx.shape[0]
                 rec["train_acc_2"] = rec_raw["correct_2"] * nb / train_idx.shape[0]
+                for i in ("1", "2"):  # memorization probes (see ct_epoch_fn)
+                    if f"agree_{i}" in rec_raw:
+                        rec[f"train_acc_noisy_{i}"] = (
+                            rec_raw[f"agree_{i}"] * nb / train_idx.shape[0])
+                        rec[f"noisy_fit_{i}"] = (
+                            rec_raw[f"noisyfit_{i}"]
+                            / max(rec_raw.get("corrupt_n", 0.0), 1e-9))
+                        rec.pop(f"agree_{i}", None)
+                        rec.pop(f"noisyfit_{i}", None)
+                rec.pop("corrupt_n", None)
                 run_pure.append((rec_raw.get("pure_ratio_1", 0.0),
                                  rec_raw.get("pure_ratio_2", 0.0)))
                 self.metrics.write(

@@ -199,6 +199,11 @@ def ct_epoch_fn(
             )(s1.params, s2.params)
             u1, os1 = optimizer.update(grads[0], s1.opt_state, s1.params)
             u2, os2 = optimizer.update(grads[1], s2.opt_state, s2.params)
+            # memorization probes: fit to the NOISY training targets overall
+            # (agree_*) and restricted to the corrupted samples (noisyfit_*,
+            # the direct memorization signal — climbs toward 1 iff the net
+            # learns the flipped labels). Counts; host divides.
+            corrupt = (~cb) & b_mask
             m = jnp.stack(
                 [
                     out.loss_1,
@@ -207,6 +212,11 @@ def ct_epoch_fn(
                     out.pure_ratio_2,
                     _acc_count(o1, yt, b_mask).astype(jnp.float32),
                     _acc_count(o2, yt, b_mask).astype(jnp.float32),
+                    _acc_count(o1, yb, b_mask).astype(jnp.float32),
+                    _acc_count(o2, yb, b_mask).astype(jnp.float32),
+                    jnp.sum((jnp.argmax(o1, -1) == yb) & corrupt).astype(jnp.float32),
+                    jnp.sum((jnp.argmax(o2, -1) == yb) & corrupt).astype(jnp.float32),
+                    jnp.sum(corrupt).astype(jnp.float32),
                 ]
             )
             new = (
@@ -225,6 +235,11 @@ def ct_epoch_fn(
             "pure_ratio_2": tot[3],
             "correct_1": tot[4],
             "correct_2": tot[5],
+            "agree_1": tot[6],
+            "agree_2": tot[7],
+            "noisyfit_1": tot[8],
+            "noisyfit_2": tot[9],
+            "corrupt_n": tot[10],
         }
         return s1, s2, metrics
 
@@ -345,6 +360,7 @@ def make_baseline_epoch(
                                           exact_leaf)
             yb = jnp.take(data.yhn, b_seeds)
             yt = jnp.take(data.y, b_seeds)
+            cb = jnp.take(data.clean, b_seeds)
 
             def loss_fn(p):
                 if spec.module == "gat":
@@ -365,13 +381,23 @@ def make_baseline_epoch(
 
             (loss, o), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
             u, os_ = optimizer.update(grads, st.opt_state, st.params)
-            m = jnp.stack([loss, _acc_count(o, yt, b_mask).astype(jnp.float32)])
+            # memorization probes (see ct_epoch_fn): fit to noisy targets
+            # overall and on the corrupted subset
+            corrupt = (~cb) & b_mask
+            m = jnp.stack([
+                loss,
+                _acc_count(o, yt, b_mask).astype(jnp.float32),
+                _acc_count(o, yb, b_mask).astype(jnp.float32),
+                jnp.sum((jnp.argmax(o, -1) == yb) & corrupt).astype(jnp.float32),
+                jnp.sum(corrupt).astype(jnp.float32),
+            ])
             return TrainState(optax.apply_updates(st.params, u), os_), m
 
         keys = jax.random.split(key, seeds.shape[0])
         s, ms = jax.lax.scan(body, s, (seeds, masks, keys))
         tot = ms.sum(axis=0)
-        return s, {"loss": tot[0], "correct": tot[1]}
+        return s, {"loss": tot[0], "correct": tot[1], "agree": tot[2],
+                   "noisyfit": tot[3], "corrupt_n": tot[4]}
 
     return epoch
 

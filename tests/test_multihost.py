@@ -78,7 +78,62 @@ batch = shard_batch(batch, mesh)
 s1, s2, m = step(s1, s2, data, batch, jax.random.key(2), jnp.float32(0.2))
 l1 = float(m["loss_1"])
 assert np.isfinite(l1)
-print(f"OK pid={{pid}} psum={{got}} loss={{l1:.6f}}", flush=True)
+
+# ---- halo-exchange inference ACROSS THE PROCESS BOUNDARY (the DCN path
+# SCALING.md extrapolates to multi-host): every locally addressable shard
+# must equal the corresponding rows of the single-device edge-list forward
+# (the partition is contiguous by node id, parallel/halo.py:95-104)
+from noise_gnn_tpu.parallel.halo import make_halo_inference, shard_features
+
+spec_h = nets.NetSpec(module="sage", in_size=8, hidden_size=8, out_size=3,
+                      num_layers=2, dropout=0.0)
+ph = nets.init_params(jax.random.key(5), spec_h)
+part, infer, _ = make_halo_inference(mesh, spec_h, g.edge_index, g.num_nodes)
+xs = shard_features(mesh, g.x, part)
+hl = infer(ph, xs)
+want = np.asarray(nets.apply(spec_h, ph, jnp.asarray(g.x),
+                             jnp.asarray(g.edge_index), train=False)["logits"])
+checked = 0
+for sh in hl.addressable_shards:
+    s0 = sh.index[0].start or 0
+    rows = np.asarray(sh.data)
+    stop = min(s0 + rows.shape[0], g.num_nodes)
+    if stop > s0:
+        np.testing.assert_allclose(rows[: stop - s0], want[s0:stop],
+                                   rtol=1e-3, atol=1e-3)
+        checked += stop - s0
+assert checked > 0
+
+# ---- one full-graph CT epoch across the process boundary: the sharded
+# batch loss must equal the single-device edge-list computation
+from noise_gnn_tpu.losses.coteaching import ct_loss
+from noise_gnn_tpu.parallel import fullbatch as FB
+
+fg_part = FB.build_train_partition(mesh, g.edge_index, g.num_nodes)
+fg_xs = shard_features(mesh, g.x, fg_part)
+p1 = nets.init_params(jax.random.key(6), spec_h)
+p2 = nets.init_params(jax.random.key(7), spec_h)
+fs1, fs2 = S.TrainState(p1, opt.init(p1)), S.TrainState(p2, opt.init(p2))
+fg_seeds = jnp.arange(32, dtype=jnp.int32)
+fg_mask = jnp.ones(32, bool)
+# single-device reference FIRST: the epoch donates its state buffers, so
+# p1/p2 are dead afterwards
+l1w = nets.apply(spec_h, p1, jnp.asarray(g.x), jnp.asarray(g.edge_index),
+                 train=False)["logits"]
+l2w = nets.apply(spec_h, p2, jnp.asarray(g.x), jnp.asarray(g.edge_index),
+                 train=False)["logits"]
+outw = ct_loss(jnp.take(l1w, fg_seeds, 0), jnp.take(l2w, fg_seeds, 0),
+               jnp.take(data.yhn, fg_seeds), jnp.float32(0.2),
+               jnp.take(data.clean, fg_seeds), fg_mask)
+fg_epoch = FB.make_fullgraph_ct_epoch(mesh, spec_h, opt)
+_, _, fg_m = fg_epoch(fs1, fs2, fg_part, fg_xs, data.y, data.yhn, data.clean,
+                      fg_seeds, fg_mask, jax.random.key(8), jnp.float32(0.2))
+fg_l = float(fg_m["loss_1"]) + float(fg_m["loss_2"])
+np.testing.assert_allclose(fg_l, float(outw.loss_1 + outw.loss_2),
+                           rtol=2e-3, atol=2e-4)
+
+print(f"OK pid={{pid}} psum={{got}} loss={{l1:.6f}} halo_rows={{checked}} "
+      f"fg={{fg_l:.6f}}", flush=True)
 """
 
 
@@ -99,13 +154,18 @@ def test_two_process_dp_step(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=480)
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
     ok = [l for o in outs for l in o.splitlines() if l.startswith("OK")]
     assert len(ok) == 2, outs
-    # both processes computed the identical global step
-    loss0 = ok[0].split("loss=")[1]
-    loss1 = ok[1].split("loss=")[1]
+    # both processes computed the identical global step / full-graph epoch
+    loss0 = ok[0].split("loss=")[1].split()[0]
+    loss1 = ok[1].split("loss=")[1].split()[0]
     assert loss0 == loss1, ok
+    fg0 = ok[0].split("fg=")[1].split()[0]
+    fg1 = ok[1].split("fg=")[1].split()[0]
+    assert fg0 == fg1, ok
+    # each process verified a non-empty set of locally addressable halo rows
+    assert all(int(l.split("halo_rows=")[1].split()[0]) > 0 for l in ok), ok

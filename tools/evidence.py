@@ -30,16 +30,19 @@ def run_one(base_cfg: str, overrides: dict) -> dict:
     cfg.update(copy.deepcopy(overrides))
     t0 = time.time()
     res = cli.main(cfg)
+    cfg["_harvest_after_ts"] = t0  # metrics JSONL appends across sessions
     out = {"wall_s": round(time.time() - t0, 1)}
     if isinstance(res, dict) and "test" in res:  # PipelineCT: final accs dict
         res = {"contrastive": (float(res["test"]), 0.0)}
     if isinstance(res, tuple):  # train_type 'nalgo'/'baseline' alone
         res = {overrides.get("train_type", "nalgo") or "nalgo": res}
     if isinstance(res, list):  # PipelineSG grid rows
-        out["grid_top3"] = [
+        rounded = [
             {k: (round(float(v), 4) if isinstance(v, (int, float)) else v)
-             for k, v in r.items()} for r in res[:3]
+             for k, v in r.items()} for r in res
         ]
+        out["grid_top3"] = rounded[:3]
+        out["grid_full"] = rounded  # every cell, one auditable object
         res = {"grid_best": (float(res[0]["acc"]), 0.0)}
     if isinstance(res, dict) and "best_val" in res:  # PipelineA
         res = {"analysis_best_val": (float(res["best_val"]), 0.0)}
@@ -60,11 +63,19 @@ def run_one(base_cfg: str, overrides: dict) -> dict:
     return out
 
 
+# per-epoch fields worth committing as curves (VERDICT r4 next #1: the
+# flagship verdict's trajectory claims must be auditable arrays in
+# docs/evidence/, not prose over gitignored out/metrics streams)
+_CURVE_SKIP = {"event", "run", "epoch", "ts", "epoch_train_s", "edges_per_s"}
+
+
 def _harvest_artifacts(cfg: dict) -> dict:
     """Raw evidence for the per-row artifact files (VERDICT r3 missing #3):
-    the run's summary/reinit events and pure-ratio curves, pulled from the
-    gitignored out/ tree so tools/evidence.py can persist them under the
-    tracked docs/evidence/<tag>/ directory."""
+    the run's summary/reinit events, pure-ratio curves, PER-EPOCH metric
+    curves (test acc, train acc vs true AND vs noisy labels, noisy-fit
+    memorization probe, selection probes), and the PipelineA confusion
+    matrix, pulled from the gitignored out/ tree so tools/evidence.py can
+    persist them under the tracked docs/evidence/<tag>/ directory."""
     import numpy as np
 
     name = cfg.get("_output_name")
@@ -75,21 +86,52 @@ def _harvest_artifacts(cfg: dict) -> dict:
                          name + ".jsonl")
     if os.path.exists(mpath):
         events = []
+        curves: dict = {}
+        # the metrics JSONL is append-mode across sessions: harvest only
+        # THIS invocation's events (older sessions of the same output name
+        # would otherwise interleave into the curves)
+        after_ts = float(cfg.get("_harvest_after_ts", 0.0)) - 1.0
         for line in open(mpath):
             try:
                 e = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if float(e.get("ts", float("inf"))) < after_ts:
+                continue
             ev = str(e.get("event", ""))
             if ev.startswith(("summary_", "reinit_", "grid_")):
                 events.append(e)
+            elif ev.startswith(("epoch_", "warmup", "finetune")):
+                ckey = ev if "run" not in e else f"{ev}_r{int(e['run'])}"
+                c = curves.setdefault(ckey, {"epoch": []})
+                c["epoch"].append(int(e.get("epoch", len(c["epoch"]))))
+                for k, v in e.items():
+                    if k in _CURVE_SKIP or not isinstance(v, (int, float)):
+                        continue
+                    c.setdefault(k, []).append(round(float(v), 4))
         if events:
             art["_events"] = events
+        if curves:
+            # downsample long streams but always keep the last epoch
+            for ckey, c in curves.items():
+                n = len(c["epoch"])
+                stride = max(1, (n + 249) // 250)
+                if stride > 1:
+                    idx = list(range(0, n, stride))
+                    if idx[-1] != n - 1:
+                        idx.append(n - 1)
+                    curves[ckey] = {k: [v[i] for i in idx]
+                                    for k, v in c.items()}
+            art["_curves"] = curves
     ppath = os.path.join(str(cfg.get("out_dir", "out")), "pure",
                          name + ".npy")
     if os.path.exists(ppath):
         pure = np.load(ppath)
         art["_pure"] = np.round(pure.astype(float), 4).tolist()
+    cpath = os.path.join(str(cfg.get("out_dir", "out")), "metrics",
+                         "confusion_" + name + ".npy")
+    if os.path.exists(cpath):
+        art["_confusion"] = np.load(cpath).astype(int).tolist()
     return art
 
 
@@ -153,27 +195,34 @@ MATRIX_BIG = [
     ("ogbn-arxiv contrastive (rand_pair 0.3, hid 256)", "config_contrast.yml",
      dict(num_runs=1, batch_id=94, noise_type="rand_pair", noise_rate=0.3,
           hidden_size=256, warmup=20, max_epochs=40)),
+    # round 5: the reference's FULL flagship protocol — num_runs 5
+    # (config/config_products.yml:28), matching configs/config_products.yml.
+    # batch_id unchanged from r3/r4 so runs 0-2 reproduce the same paired
+    # (seed, run)-keyed noise draws; runs 3-4 extend the sample.
     ("ogbn-products rand_pair 0.3 co-teaching vs CE (flagship)",
      "config_products.yml",
-     dict(train_type="both", compare_loss="normal", num_runs=3,
-          batch_id=90, exact_leaf=True, _timeout=10800)),
+     dict(train_type="both", compare_loss="normal", num_runs=5,
+          batch_id=90, exact_leaf=True, _timeout=14400)),
     # budget-hypothesis test for the flagship: at 50 epochs CE's best-epoch
     # peak still leads co-teaching (round-4 row above); the hard-draw probe
     # showed CT reaching 0.768 by epoch 100 (tools/probe_hard_draw.py).
     # Same (seed, run)-keyed noise draws as the 50-epoch row.
     ("ogbn-products co-teaching vs CE, 100-epoch budget",
      "config_products.yml",
-     dict(train_type="both", compare_loss="normal", num_runs=3,
-          batch_id=95, exact_leaf=True, max_epochs=100, _timeout=14400)),
+     dict(train_type="both", compare_loss="normal", num_runs=5,
+          batch_id=95, exact_leaf=True, max_epochs=100, _timeout=21600)),
     # discard-cost diagnostic (DEVIATES from the reference's ct_tau 1.2):
-    # at products scale CE never memorizes the noise (train acc on noisy
-    # labels stays ~0.36 at epoch 90), so the reference protocol's 36%
-    # sample discard is pure cost. Same (seed, run) draws as the flagship
-    # row -> directly comparable to its paired CE branch.
+    # at products scale CE never memorizes the noise (the noisy_fit probe
+    # stays flat), so the reference protocol's 36% sample discard is pure
+    # cost. train_type nalgo only: its paired CE baselines are the flagship
+    # row's (identical batch_id-90 (seed, run) draws, identical 50-epoch
+    # budget) — main() embeds that baseline summary + provenance into this
+    # row's artifact so the pairing is auditable in one object (VERDICT r4
+    # weak #2 / next #2).
     ("ogbn-products co-teaching ct_tau 0.5 (discard-cost diagnostic)",
      "config_products.yml",
-     dict(train_type="nalgo", num_runs=3, batch_id=96, exact_leaf=True,
-          ct_tau=0.5, _timeout=7200)),
+     dict(train_type="nalgo", num_runs=5, batch_id=96, exact_leaf=True,
+          ct_tau=0.5, _timeout=14400)),
     ("ogbn-arxiv rand_pair 0.3 co-teaching vs CE", "config_arxiv.yml",
      dict(train_type="both", what="", module="sage", compare_loss="normal",
           num_runs=3, batch_id=90)),
@@ -189,8 +238,14 @@ def main():
                     "run's stdout log (no TPU work); rows missing from the "
                     "log are skipped")
     ap.add_argument("--only", help="substring filter on row labels")
-    ap.add_argument("--tag", default="r4", help="evidence artifact directory "
+    ap.add_argument("--tag", default="r5", help="evidence artifact directory "
                     "tag: per-row raw JSON goes to docs/evidence/<tag>/")
+    ap.add_argument("--from-artifacts", help="seed rows from a prior tag's "
+                    "docs/evidence/<dir>/*.json so unchanged rows carry over "
+                    "without TPU work; rows matching --refresh re-run fresh")
+    ap.add_argument("--refresh", help="comma-separated substrings: rows "
+                    "matching any are re-run even when seeded by "
+                    "--from-artifacts")
     args = ap.parse_args()
 
     if args.one:
@@ -212,6 +267,19 @@ def main():
                     if isinstance(v, dict):
                         logged[k] = v
 
+    carried: dict = {}
+    if args.from_artifacts:
+        import glob
+
+        for p in sorted(glob.glob(os.path.join(args.from_artifacts, "*.json"))):
+            try:
+                d = json.load(open(p))
+            except (json.JSONDecodeError, OSError):
+                continue
+            if "label" in d and "result" in d and "error" not in d["result"]:
+                carried[d["label"]] = d["result"]
+    refresh = [s.strip() for s in (args.refresh or "").split(",") if s.strip()]
+
     # big rows first: they are the ones that need fresh evidence; the small
     # rows refresh quickly at the end (report order is rebuilt from labels)
     matrix = MATRIX if args.quick else MATRIX_BIG + MATRIX
@@ -221,6 +289,14 @@ def main():
     for label, base, ov in matrix:
         if label in logged:
             rows.append((label, base, ov, logged[label]))
+            continue
+        if (label in carried
+                and not any(s in label for s in refresh)):
+            res = dict(carried[label])
+            res["carried_from"] = args.from_artifacts
+            print(json.dumps({label: {"carried_from": args.from_artifacts}}),
+                  flush=True)
+            rows.append((label, base, ov, res))
             continue
         if args.from_log:  # assembly-only mode: never touch the TPU
             rows.append((label, base, ov, {"error": "not in log"}))
@@ -249,6 +325,26 @@ def main():
         print(json.dumps({label: res}), flush=True)
         rows.append((label, base, ov, res))
 
+    # ---- pairing provenance for the ct_tau diagnostic (VERDICT r4 weak #2):
+    # its CE baselines are the flagship row's — identical (seed, run)-keyed
+    # draws (pipelines._flip_labels: pure function of (seed, run); batch_id
+    # only tags output names) and identical 50-epoch budget. Embed the
+    # baseline summary verbatim so the pairing is auditable in one object.
+    _FLAG = "ogbn-products rand_pair 0.3 co-teaching vs CE (flagship)"
+    _TAU = "ogbn-products co-teaching ct_tau 0.5 (discard-cost diagnostic)"
+    flag_res = next((r for l, _, _, r in rows if l == _FLAG), None)
+    tau_res = next((r for l, _, _, r in rows if l == _TAU), None)
+    if (flag_res and tau_res and "error" not in tau_res
+            and isinstance(flag_res.get("baseline"), dict)):
+        tau_res["paired_ce"] = dict(flag_res["baseline"])
+        tau_res["paired_ce_provenance"] = (
+            "CE cells copied from the flagship row's baseline branch: "
+            "identical (seed, run)-keyed noise draws (pipelines._flip_labels "
+            "is a pure function of (seed, run); batch_id only names outputs) "
+            "and identical 50-epoch budget, so re-running CE here would "
+            "reproduce that branch bit-for-bit."
+        )
+
     # ---- per-row raw evidence artifacts, committed to the tree so every
     # table cell is auditable across rounds (VERDICT r3 missing #3)
     art_dir = os.path.join("docs", "evidence", args.tag)
@@ -273,16 +369,34 @@ def main():
         "literature. `nalgo` = the noise-robust algorithm, `baseline` =",
         "plain CE on the identical graph/noise/splits (paired draws).",
         "",
+        "CAVEAT (synthetic band mismatch): the calibrated synthetic",
+        "ogbn-products generator plateaus at ~0.91 clean accuracy vs the",
+        "real dataset's ~0.78 band (graph/datasets.py:70-78). The flagship",
+        "verdict below — CE wins this regime because the model never",
+        "memorizes the injected noise, so the reference protocol's 36%",
+        "discard (ct_tau 1.2) is pure data loss — is conditioned on this",
+        "easier-than-real generator; on the real graph the memorization",
+        "onset (and hence co-teaching's value) may differ.",
+        "",
         "| Experiment | nalgo best | nalgo final (last10) | CE best | CE final (last10) |",
         "|---|---|---|---|---|",
     ]
     for label, base, ov, res in rows:
-        def fmt(b):
-            v = res.get(b)
-            return (f"{v['mean']:.3f} +- {v['std']:.3f}"
-                    if isinstance(v, dict) and "mean" in v else "--")
+        # ct_tau diagnostic: render its paired CE cells from the embedded
+        # flagship baselines (marked *; provenance in the row artifact)
+        paired = ("paired_ce" in res and "baseline" not in res)
+        disp = dict(res)
+        if paired:
+            disp["baseline"] = res["paired_ce"]
 
-        def fmt_final(b):
+        def fmt(b, disp=disp, paired=paired):
+            v = disp.get(b)
+            if not (isinstance(v, dict) and "mean" in v):
+                return "--"
+            mark = " \\*" if (paired and b == "baseline") else ""
+            return f"{v['mean']:.3f} +- {v['std']:.3f}{mark}"
+
+        def fmt_final(b, res=disp):
             v = res.get(b)
             if not (isinstance(v, dict) and "final_mean" in v):
                 return "--"
@@ -295,7 +409,7 @@ def main():
 
         robust = [b for b in res
                   if isinstance(res.get(b), dict) and "mean" in res[b]
-                  and b != "baseline"]
+                  and b not in ("baseline", "paired_ce")]
         rcell = ", ".join(f"{b}: {fmt(b)}" for b in robust) or (
             "ERROR" if "error" in res else "--")
         fcell = ", ".join(fmt_final(b) for b in robust) or "--"
@@ -305,8 +419,15 @@ def main():
         )
     lines += [
         "",
+        "\\* paired CE baselines copied from the flagship row (identical",
+        "(seed, run)-keyed noise draws and budget; provenance embedded in",
+        "the row artifact as `paired_ce_provenance`).",
+        "",
         f"Raw per-row artifacts (summary events, per-run bests/finals,",
-        f"pure-ratio curves): `docs/evidence/{args.tag}/*.json` (committed).",
+        f"pure-ratio curves, PER-EPOCH curves incl. train-acc vs true and",
+        f"vs noisy labels and the corrupted-subset `noisy_fit` memorization",
+        f"probe, SG full grid, A confusion matrix + selection probes):",
+        f"`docs/evidence/{args.tag}/*.json` (committed).",
         "Full per-epoch streams: `out/metrics/` JSONL (gitignored).",
         "",
         "Generated by `tools/evidence.py` on one TPU v5e chip.",
