@@ -355,6 +355,16 @@ def main():
             json.dump({"label": label, "base_config": base, "overrides": ov,
                        "result": res}, f, indent=1, default=float)
 
+    # committed curve PLOTS next to the artifacts (no TPU work; subprocess
+    # keeps matplotlib out of this process)
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      "plot_curves.py"), art_dir],
+        check=False,
+    )
+
     lines = [
         "# RESULTS — noise-robustness evidence (synthetic fallback datasets)",
         "",
