@@ -189,7 +189,9 @@ def main():
     # is a real production win — eval serves two nets per gather — but it is
     # an accounting fusion, so it rides along as its own field instead of
     # inflating the headline)
-    single = max(rate_pallas, rate_xla)
+    # symmetric leg selection: the best single-stream rate from EITHER
+    # mechanism under ANY protocol (each leg also ships as its own field)
+    single = max(rate_pallas, rate_xla, rate_xla_chain)
     hbm_bw = {"tpu": 819e9, "axon": 819e9}.get(dev.platform, 50e9)  # v5e
     sol = hbm_bw / (f * dtype.itemsize)
     log(f"speed-of-light at {hbm_bw / 1e9:.0f} GB/s: {sol / 1e6:.0f} M edges/s; "

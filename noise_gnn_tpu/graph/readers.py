@@ -66,11 +66,12 @@ def _dense(block) -> np.ndarray:
     return np.asarray(block, dtype=np.float32)
 
 
-def read_planetoid(root: str, name: str) -> Graph:
-    """Parse ``<root>/<name>/raw/ind.<name>.*`` into a Graph with the
+def read_planetoid(root: str, name: str, dirname: str | None = None) -> Graph:
+    """Parse ``<root>/<dirname>/raw/ind.<name>.*`` into a Graph with the
     public Planetoid split (reference: PyG ``Planetoid``,
-    src/utils/load_utils.py:35-37)."""
-    raw = os.path.join(root, name, "raw")
+    src/utils/load_utils.py:35-37). ``dirname`` defaults to ``name`` (the
+    raw file prefix is always the lowercase dataset name)."""
+    raw = os.path.join(root, dirname or name, "raw")
     p = lambda suf: os.path.join(raw, f"ind.{name}.{suf}")  # noqa: E731
 
     x = _dense(_unpickle(p("x")))          # [n_train, F] labelled train block
@@ -127,8 +128,10 @@ def read_planetoid(root: str, name: str) -> Graph:
 def read_npz_graph(path: str, name: str) -> Graph:
     """Parse the CSR npz schema shared by CitationFull (``cora.npz``) and
     Amazon (``amazon_electronics_computers.npz``) — reference
-    src/utils/load_utils.py:38-47. No split in the format (the reference
-    draws random per-class splits; graph.splits)."""
+    src/utils/load_utils.py:38-47. Matches the PyG ``parse_npz`` semantics
+    the reference sees: features binarized (``x[x > 0] = 1``), self-loops
+    dropped, adjacency symmetrized (to_undirected). No split in the format
+    (the reference draws random per-class splits; graph.splits)."""
     with np.load(path, allow_pickle=True) as z:
         keys = set(z.files)
         labels = np.asarray(z["labels"]).astype(np.int32).reshape(-1)
@@ -148,8 +151,14 @@ def read_npz_graph(path: str, name: str) -> Graph:
             rows = np.repeat(np.arange(n, dtype=np.int64),
                              np.diff(a_indptr[: n + 1]))
             x[rows, a_indices[: rows.shape[0]]] = a_data[: rows.shape[0]]
+    x = (x > 0).astype(np.float32)  # PyG parse_npz: x[x > 0] = 1
     keep = src != dst
-    ei = np.stack([src[keep], dst[keep]]).astype(np.int32)
+    # to_undirected: add reverse edges, dedupe
+    ei = np.stack([
+        np.concatenate([src[keep], dst[keep]]),
+        np.concatenate([dst[keep], src[keep]]),
+    ])
+    ei = np.unique(ei, axis=1).astype(np.int32)
     return Graph(
         x=x,
         y=labels,
@@ -250,11 +259,16 @@ def detect_and_read(data_dir: str, name: str) -> Graph | None:
                          test_idx=idx["test"])
             return g
     elif name in _NPZ_FILE:
-        path = os.path.join(data_dir, name, "raw", _NPZ_FILE[name])
-        if os.path.exists(path):
-            return read_npz_graph(path, name)
+        # PyG dir casing differs per dataset class: CitationFull uses
+        # name.lower() ('cora'), Amazon uses name.capitalize()
+        # ('Computers') — probe both
+        for d in (name, name.capitalize()):
+            path = os.path.join(data_dir, d, "raw", _NPZ_FILE[name])
+            if os.path.exists(path):
+                return read_npz_graph(path, name)
     else:  # planetoid family (the reference uses it for pubmed)
-        if os.path.exists(os.path.join(data_dir, name, "raw",
-                                       f"ind.{name}.x")):
-            return read_planetoid(data_dir, name)
+        for d in (name, name.capitalize(), name.title()):
+            if os.path.exists(os.path.join(data_dir, d, "raw",
+                                           f"ind.{name}.x")):
+                return read_planetoid(data_dir, name, dirname=d)
     return None

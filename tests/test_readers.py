@@ -50,11 +50,16 @@ def test_planetoid_parse():
 def test_npz_graph_parse(name, fname):
     g = read_npz_graph(os.path.join(FIX, name, "raw", fname), name)
     exp = _expected(name)
+    # PyG parse_npz semantics: binarized features, undirected, no loops
     np.testing.assert_allclose(g.x, exp["x"], rtol=1e-6)
+    assert set(np.unique(g.x)) <= {0.0, 1.0}
     np.testing.assert_array_equal(g.y, exp["y"])
     assert g.num_classes == int(exp["y"].max()) + 1
     assert g.train_mask is None  # format carries no split
-    assert (g.edge_index[0] != g.edge_index[1]).all()
+    src, dst = g.edge_index
+    assert (src != dst).all()
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    assert all((d, s) in pairs for s, d in pairs)  # symmetrized
 
 
 def test_ogb_nodeprop_parse():
@@ -77,6 +82,17 @@ def test_detect_and_read_probes_layouts():
     assert detect_and_read(FIX, "computers").name == "computers"
     assert detect_and_read(FIX, "ogbn-arxiv").name == "ogbn-arxiv"
     assert detect_and_read(FIX, "ogbn-products") is None  # not present
+
+
+def test_detect_and_read_pyg_dir_casing(tmp_path):
+    """PyG capitalizes some dataset dirs (Amazon -> 'Computers/raw',
+    Planetoid -> 'Pubmed/raw'); the probe must find both casings."""
+    import shutil
+
+    shutil.copytree(os.path.join(FIX, "computers"), tmp_path / "Computers")
+    shutil.copytree(os.path.join(FIX, "pubmed"), tmp_path / "Pubmed")
+    assert detect_and_read(str(tmp_path), "computers").name == "computers"
+    assert detect_and_read(str(tmp_path), "pubmed").name == "pubmed"
 
 
 @pytest.mark.parametrize("name", ["pubmed", "cora", "computers",

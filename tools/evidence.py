@@ -277,7 +277,7 @@ def main():
             except (json.JSONDecodeError, OSError):
                 continue
             if "label" in d and "result" in d and "error" not in d["result"]:
-                carried[d["label"]] = d["result"]
+                carried[d["label"]] = (d["result"], d.get("overrides"))
     refresh = [s.strip() for s in (args.refresh or "").split(",") if s.strip()]
 
     # big rows first: they are the ones that need fresh evidence; the small
@@ -292,12 +292,23 @@ def main():
             continue
         if (label in carried
                 and not any(s in label for s in refresh)):
-            res = dict(carried[label])
-            res["carried_from"] = args.from_artifacts
-            print(json.dumps({label: {"carried_from": args.from_artifacts}}),
-                  flush=True)
-            rows.append((label, base, ov, res))
-            continue
+            prior_res, prior_ov = carried[label]
+            # protocol guard: carry ONLY if the stored row ran the same
+            # overrides this matrix specifies (a changed protocol — e.g.
+            # num_runs 3 -> 5 — must re-run, not silently present stale
+            # statistics under the new protocol's label)
+            cur_ov = {k: v for k, v in ov.items() if not k.startswith("_")}
+            if prior_ov is None or dict(prior_ov) == cur_ov:
+                res = dict(prior_res)
+                res["carried_from"] = args.from_artifacts
+                print(json.dumps(
+                    {label: {"carried_from": args.from_artifacts}}),
+                    flush=True)
+                rows.append((label, base, ov, res))
+                continue
+            print(json.dumps({label: {
+                "carry_rejected": "stored overrides differ from matrix"}}),
+                flush=True)
         if args.from_log:  # assembly-only mode: never touch the TPU
             rows.append((label, base, ov, {"error": "not in log"}))
             continue

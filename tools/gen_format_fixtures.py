@@ -109,7 +109,10 @@ def make_npz(name: str, fname: str, dense_attr: bool):
     d = os.path.join(ROOT, name, "raw")
     os.makedirs(d, exist_ok=True)
     np.savez(os.path.join(d, fname), **out)
-    np.savez(os.path.join(ROOT, f"{name}_expected.npz"), x=feats, y=labels)
+    # expected follows the PyG parse_npz semantics the reader reproduces:
+    # binarized features (the raw npz keeps the counts)
+    np.savez(os.path.join(ROOT, f"{name}_expected.npz"),
+             x=(feats > 0).astype(np.float32), y=labels)
 
 
 def make_ogb(name="ogbn-arxiv"):

@@ -82,16 +82,32 @@ def plot_artifact(path: str) -> str | None:
     if len(panels) == 1:
         axes = [axes]
     color = {"CE": CE_COLOR, "nalgo": NALGO_COLOR}
+
+    def _segments(ep, vals):
+        """Split at epoch regressions (reinit-retried runs concatenate
+        [0..k_abort, 0..max] in one harvested stream)."""
+        out, start = [], 0
+        for i in range(1, len(ep)):
+            if ep[i] <= ep[i - 1]:
+                out.append((ep[start:i], vals[start:i]))
+                start = i
+        out.append((ep[start:], vals[start:]))
+        return out
+
     for ax, (title, series) in zip(axes, panels):
         for branch, runs in series.items():
+            finals = []  # last contiguous segment per trace (the kept run)
             for ep, vals, dashed in runs:
-                ax.plot(ep, vals, color=color[branch], linewidth=1.0,
-                        alpha=0.3, linestyle="--" if dashed else "-")
-            # bold mean across runs (align on the shortest epoch range)
-            if runs:
-                nmin = min(len(v) for _, v, _ in runs)
-                mean = np.mean([v[:nmin] for _, v, _ in runs], axis=0)
-                ax.plot(runs[0][0][:nmin], mean, color=color[branch],
+                segs = _segments(ep, vals)
+                for se, sv in segs:
+                    ax.plot(se, sv, color=color[branch], linewidth=1.0,
+                            alpha=0.3, linestyle="--" if dashed else "-")
+                finals.append(segs[-1])
+            # bold mean across the kept segments (align on the shortest)
+            if finals:
+                nmin = min(len(v) for _, v in finals)
+                mean = np.mean([v[:nmin] for _, v in finals], axis=0)
+                ax.plot(finals[0][0][:nmin], mean, color=color[branch],
                         linewidth=2.0, label=f"{branch} (mean)")
         ax.set_title(title, fontsize=10, color=TEXT, loc="left")
         ax.grid(True, color=GRID, linewidth=0.6, alpha=0.6)
