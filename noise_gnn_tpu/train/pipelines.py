@@ -52,6 +52,25 @@ def selection_degenerate(run_pure, clean_frac: float, tol: float = 0.005) -> boo
     return bool(tail) and max(tail) < clean_frac + tol
 
 
+def optimization_collapsed(run_loss, run_fit, clean_frac: float,
+                           loss_frac_tol: float = 0.75,
+                           fit_frac: float = 0.5) -> bool:
+    """True when the run's optimizer never engaged even though selection is
+    healthy: the mean training loss over the LAST 5 epochs still sits above
+    ``loss_frac_tol`` of the FIRST epoch's loss AND the final fit to the
+    (mostly clean) selected noisy training targets is below ``fit_frac`` x
+    the clean fraction. Train-side signals only — no test peeking.
+    Measured failure mode (round-5 flagship run 3): loss 3.85 -> 3.03
+    (0.79x, vs ~0.55x for healthy runs) with purity perfectly healthy
+    (0.731 > clean 0.707) while test accuracy pinned at 0.13; the
+    selection-degeneracy detector is blind to it by construction."""
+    if len(run_loss) < 10 or not run_fit:
+        return False
+    tail = float(np.mean(run_loss[-5:]))
+    return (tail > loss_frac_tol * float(run_loss[0])
+            and float(run_fit[-1]) < fit_frac * clean_frac)
+
+
 class RunSummary(tuple):
     """(mean, std) of per-run BEST test accuracy — tuple-compatible with
     every existing consumer (``mean, std = pipe.loop()``) — carrying the
@@ -633,7 +652,8 @@ class BasePipeline:
         return RunSummary(mean, std, extra)
 
     def _degen_retry(self, run: int, attempt: int, run_pure,
-                     best: float, resumed_partial: bool) -> bool:
+                     best: float, resumed_partial: bool,
+                     run_loss=None, run_fit=None) -> bool:
         """Shared degenerate-selection retry decision for every
         co-teaching-family loop (CO/S/TE/TES/CTP/H). True = re-enter the
         run's epoch loop with fresh inits (the noise realization stays
@@ -650,24 +670,34 @@ class BasePipeline:
             return False
         retries = int(self.config.get("reinit_retries", 0))
         clean_frac = float(np.mean(self.clean))
-        if not selection_degenerate(run_pure, clean_frac):
+        degen = selection_degenerate(run_pure, clean_frac)
+        # second trigger (round 5): optimization collapse with HEALTHY
+        # selection — loss never descends, fit to the selected targets
+        # stays at chance (optimization_collapsed above)
+        opt_fail = (not degen and run_loss is not None
+                    and optimization_collapsed(run_loss, run_fit or [],
+                                               clean_frac))
+        if not (degen or opt_fail):
             return False
+        mode = ("selection purity flat at the clean fraction "
+                f"({clean_frac:.3f})" if degen
+                else "training loss never descended (optimization collapse, "
+                     "selection healthy)")
         if attempt < retries:
             self.logger.warning(
-                f"   RUN {run + 1}: selection purity flat at the clean "
-                f"fraction ({clean_frac:.3f}) - re-initializing and "
+                f"   RUN {run + 1}: {mode} - re-initializing and "
                 f"retraining (attempt {attempt + 1}/{retries})"
             )
             # the discarded attempt's best acc is recorded so the flagship
             # numbers stay auditable against the non-retry protocol
             self.metrics.write(event="reinit_degenerate", run=run,
-                               attempt=attempt + 1, discarded_best=best)
+                               attempt=attempt + 1, discarded_best=best,
+                               mode="selection" if degen else "optimization")
             return True
         self.logger.warning(
-            f"   RUN {run + 1}: selection purity flat at the clean "
-            f"fraction ({clean_frac:.3f}) - small-loss selection found no "
-            f"signal on this noise draw/init; consider a longer epoch "
-            f"budget or reinit_retries > 0 (docs/RESULTS.md)"
+            f"   RUN {run + 1}: {mode} - no signal on this noise draw/init; "
+            f"consider a longer epoch budget or reinit_retries > 0 "
+            f"(docs/RESULTS.md)"
         )
         return False
 
@@ -860,6 +890,7 @@ class PipelineCO(BasePipeline):
                 s2 = self._put_state(S.init_state(self.next_key(), spec, self.optimizer))
               best1 = best2 = 0.0
               run_pure, run_test = [], []
+              run_loss, run_fit = [], []  # optimization-collapse signals
               for epoch in range(start_epoch, int(c["max_epochs"])):
                 fr = jnp.float32(self.rate_schedule[epoch])
                 t_train = time.perf_counter()
@@ -897,6 +928,11 @@ class PipelineCO(BasePipeline):
                 rec.pop("corrupt_n", None)
                 run_pure.append((rec_raw.get("pure_ratio_1", 0.0),
                                  rec_raw.get("pure_ratio_2", 0.0)))
+                run_loss.append(min(rec_raw.get("loss_1", 0.0),
+                                    rec_raw.get("loss_2", 0.0)))
+                if "train_acc_noisy_1" in rec:
+                    run_fit.append(max(rec["train_acc_noisy_1"],
+                                       rec.get("train_acc_noisy_2", 0.0)))
                 self.metrics.write(
                     event="epoch_ct", run=run, epoch=epoch, **rec,
                     val_acc_1=acc1["valid"], val_acc_2=acc2["valid"],
@@ -920,7 +956,8 @@ class PipelineCO(BasePipeline):
               s1 = s2 = None
               start_epoch = 0
               if self._degen_retry(run, attempt, run_pure,
-                                   max(best1, best2), resumed_partial):
+                                   max(best1, best2), resumed_partial,
+                                   run_loss=run_loss, run_fit=run_fit):
                 attempt += 1
                 continue
               break

@@ -292,6 +292,25 @@ def test_selection_degenerate_detector():
     assert not selection_degenerate([], 0.70)
 
 
+def test_optimization_collapsed_detector():
+    """Round-5 flagship run-3 mode: loss stalls near its initial value and
+    fit to the noisy targets stays at chance while selection purity is
+    healthy. Healthy descent does not trigger; short runs never judge."""
+    from noise_gnn_tpu.train.pipelines import optimization_collapsed
+
+    # measured shapes: ln(47)=3.85 start; collapsed tail ~3.03 (0.79x),
+    # fit 0.084 vs clean 0.707; healthy tail ~2.10 (0.55x), fit 0.24
+    collapsed_loss = [3.85 - 0.017 * i for i in range(50)]
+    healthy_loss = [3.85 - 0.036 * i for i in range(50)]
+    assert optimization_collapsed(collapsed_loss, [0.084], 0.707)
+    assert not optimization_collapsed(healthy_loss, [0.24], 0.707)
+    # healthy fit vetoes even with a stalled-looking loss
+    assert not optimization_collapsed(collapsed_loss, [0.40], 0.707)
+    # too-short runs and missing fit probes never judge
+    assert not optimization_collapsed(collapsed_loss[:5], [0.08], 0.707)
+    assert not optimization_collapsed(collapsed_loss, [], 0.707)
+
+
 def test_reinit_on_degenerate_retries_once(tmp_path, monkeypatch):
     """With reinit_retries > 0 the CO loop re-initializes and retrains a
     run whose selection ended degenerate — same noise realization, fresh
