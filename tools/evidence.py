@@ -207,10 +207,15 @@ MATRIX_BIG = [
     # peak still leads co-teaching (round-4 row above); the hard-draw probe
     # showed CT reaching 0.768 by epoch 100 (tools/probe_hard_draw.py).
     # Same (seed, run)-keyed noise draws as the 50-epoch row.
+    # ckpt_every/resume: tunnel hangs (a dead RPC freezes the jax client
+    # mid-row; observed twice on 2026-08-22) cost only the stall window —
+    # the watchdog kills the row and a re-invocation resumes from the last
+    # checkpoint instead of redoing hours of training.
     ("ogbn-products co-teaching vs CE, 100-epoch budget",
      "config_products.yml",
      dict(train_type="both", compare_loss="normal", num_runs=5,
-          batch_id=95, exact_leaf=True, max_epochs=100, _timeout=21600)),
+          batch_id=95, exact_leaf=True, max_epochs=100, ckpt_every=10,
+          resume=True, _timeout=21600)),
     # discard-cost diagnostic (DEVIATES from the reference's ct_tau 1.2):
     # at products scale CE never memorizes the noise (the noisy_fit probe
     # stays flat), so the reference protocol's 36% sample discard is pure
@@ -222,7 +227,7 @@ MATRIX_BIG = [
     ("ogbn-products co-teaching ct_tau 0.5 (discard-cost diagnostic)",
      "config_products.yml",
      dict(train_type="nalgo", num_runs=5, batch_id=96, exact_leaf=True,
-          ct_tau=0.5, _timeout=14400)),
+          ct_tau=0.5, ckpt_every=10, resume=True, _timeout=14400)),
     ("ogbn-arxiv rand_pair 0.3 co-teaching vs CE", "config_arxiv.yml",
      dict(train_type="both", what="", module="sage", compare_loss="normal",
           num_runs=3, batch_id=90)),
