@@ -207,15 +207,17 @@ MATRIX_BIG = [
     # peak still leads co-teaching (round-4 row above); the hard-draw probe
     # showed CT reaching 0.768 by epoch 100 (tools/probe_hard_draw.py).
     # Same (seed, run)-keyed noise draws as the 50-epoch row.
-    # ckpt_every/resume: tunnel hangs (a dead RPC freezes the jax client
-    # mid-row; observed twice on 2026-08-22) cost only the stall window —
-    # the watchdog kills the row and a re-invocation resumes from the last
-    # checkpoint instead of redoing hours of training.
+    # kept at the round-4 protocol (3 runs): the 5-run re-measurement did
+    # not fit round 5's wall clock after the tunnel-hang recoveries, so
+    # this row carries from docs/evidence/r4 under its honest 3-run label;
+    # the missing curve evidence at the doubled budget is supplied by the
+    # CE-only 100-epoch memorization diagnostic (tools/run_ce100_curves.sh,
+    # committed as a supplementary artifact) — the "CE never memorizes"
+    # claim is a baseline-branch property.
     ("ogbn-products co-teaching vs CE, 100-epoch budget",
      "config_products.yml",
-     dict(train_type="both", compare_loss="normal", num_runs=5,
-          batch_id=95, exact_leaf=True, max_epochs=100, ckpt_every=10,
-          resume=True, _timeout=21600)),
+     dict(train_type="both", compare_loss="normal", num_runs=3,
+          batch_id=95, exact_leaf=True, max_epochs=100, _timeout=21600)),
     # discard-cost diagnostic (DEVIATES from the reference's ct_tau 1.2):
     # at products scale CE never memorizes the noise (the noisy_fit probe
     # stays flat), so the reference protocol's 36% sample discard is pure
@@ -303,7 +305,12 @@ def main():
             # num_runs 3 -> 5 — must re-run, not silently present stale
             # statistics under the new protocol's label)
             cur_ov = {k: v for k, v in ov.items() if not k.startswith("_")}
-            if prior_ov is None or dict(prior_ov) == cur_ov:
+            # strip private keys from the STORED side too (r4 artifacts
+            # recorded _timeout inside overrides; it is not protocol)
+            prior_cmp = None if prior_ov is None else {
+                k: v for k, v in dict(prior_ov).items()
+                if not k.startswith("_")}
+            if prior_ov is None or prior_cmp == cur_ov:
                 res = dict(prior_res)
                 res["carried_from"] = args.from_artifacts
                 print(json.dumps(
@@ -398,11 +405,13 @@ def main():
         "CAVEAT (synthetic band mismatch): the calibrated synthetic",
         "ogbn-products generator plateaus at ~0.91 clean accuracy vs the",
         "real dataset's ~0.78 band (graph/datasets.py:70-78). The flagship",
-        "verdict below — CE wins this regime because the model never",
-        "memorizes the injected noise, so the reference protocol's 36%",
-        "discard (ct_tau 1.2) is pure data loss — is conditioned on this",
-        "easier-than-real generator; on the real graph the memorization",
-        "onset (and hence co-teaching's value) may differ.",
+        "verdict below — at the reference protocol (ct_tau 1.2 -> 36%",
+        "discard) co-teaching TIES plain CE because this regime barely",
+        "memorizes the injected noise (noisy_fit <= 0.13 by epoch 50),",
+        "while a milder discard (ct_tau 0.5) beats the same paired CE on",
+        "4 of 5 draws — is conditioned on this easier-than-real",
+        "generator; on the real graph the memorization onset (and hence",
+        "the best forget rate) may differ.",
         "",
         "| Experiment | nalgo best | nalgo final (last10) | CE best | CE final (last10) |",
         "|---|---|---|---|---|",
